@@ -1,0 +1,134 @@
+"""Distribution-drift checks (KS / PSI) against a baseline snapshot
+(north_star requirement; no counterpart in the reference, which validates
+single files in isolation).
+
+Design: drift is computed from FIXED-BIN HISTOGRAMS, not raw values. The
+histogram is one aggregate over the scan (``width_bucket`` → groupBy(bin)),
+producing ≤ n_bins rows per column — so the KS/PSI math runs on frames of a
+few dozen rows regardless of table size. KS over binned data is exact at bin
+resolution: KS = max |CDF_p − CDF_q| evaluated at bin edges; PSI is defined
+on bins natively. This keeps 10^12-row drift checks to one shared scan plus
+driver arithmetic — no applyInPandas needed (SURVEY.md §7.6).
+
+Bin edges come from the BASELINE snapshot (stored alongside its histogram),
+so current data is bucketed against the same grid; out-of-range values land
+in the under/overflow buckets 0 and n_bins+1, which is itself drift signal.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """(bin_id, bin_count) with bin_id 0 = underflow, n_bins+1 = overflow,
+    NULLs excluded. One aggregate, map-side partial counts."""
+    b = F.width_bucket(F.col(column).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_bins))
+    return (
+        df.where(F.col(column).isNotNull())
+        .groupBy(b.alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
+def snapshot(
+    df: DataFrame, columns: list[str], n_bins: int = 32
+) -> dict[str, dict]:
+    """Baseline snapshot for ``columns``: per column the (lo, hi) grid from
+    observed min/max plus the histogram as a dict {bin_id: count}. min/max
+    for all columns come from ONE agg; histograms are one tiny agg each."""
+    minmax = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"{c}__lo") for c in columns],
+        *[F.max(F.col(c).cast("double")).alias(f"{c}__hi") for c in columns],
+    ).first()
+    out: dict[str, dict] = {}
+    for c in columns:
+        lo, hi = minmax[f"{c}__lo"], minmax[f"{c}__hi"]
+        if lo is None or hi is None or lo == hi:
+            hi = (lo or 0.0) + 1.0
+            lo = lo or 0.0
+        rows = histogram(df, c, lo, hi, n_bins).collect()
+        out[c] = {
+            "lo": float(lo),
+            "hi": float(hi),
+            "n_bins": n_bins,
+            "counts": {int(r["bin_id"]): int(r["bin_count"]) for r in rows},
+        }
+    return out
+
+
+@dataclass(frozen=True)
+class DriftResult:
+    column: str
+    ks: float
+    psi: float
+    baseline_total: int
+    current_total: int
+
+    def drifted(self, ks_threshold: float = 0.1, psi_threshold: float = 0.2) -> bool:
+        return self.ks > ks_threshold or self.psi > psi_threshold
+
+
+def _vectorize(counts: dict[int, int], n_bins: int) -> list[int]:
+    return [counts.get(i, 0) for i in range(0, n_bins + 2)]
+
+
+def compare(
+    baseline: dict[str, dict], current: dict[str, dict]
+) -> list[DriftResult]:
+    """Driver math over tiny per-bin frames: KS = max |ΔCDF|,
+    PSI = Σ (p−q)·ln(p/q) with epsilon smoothing on empty bins."""
+    results = []
+    for col, base in baseline.items():
+        cur = current.get(col)
+        if cur is None:
+            continue
+        n_bins = base["n_bins"]
+        p = _vectorize(base["counts"], n_bins)
+        q = _vectorize(cur["counts"], n_bins)
+        tp, tq = sum(p), sum(q)
+        if tp == 0 or tq == 0:
+            results.append(DriftResult(col, 0.0, 0.0, tp, tq))
+            continue
+        eps = 1e-6
+        ks = 0.0
+        cp = cq = 0.0
+        psi = 0.0
+        for pi, qi in zip(p, q):
+            fp, fq = pi / tp, qi / tq
+            cp += fp
+            cq += fq
+            ks = max(ks, abs(cp - cq))
+            a, b = max(fq, eps), max(fp, eps)  # PSI: current vs expected
+            psi += (a - b) * math.log(a / b)
+        results.append(DriftResult(col, ks, psi, tp, tq))
+    return results
+
+
+def drift_check(
+    current_df: DataFrame,
+    baseline_snapshot: dict[str, dict],
+) -> list[DriftResult]:
+    """Histogram the current data on the BASELINE's bin grid, then compare."""
+    current: dict[str, dict] = {}
+    for col, base in baseline_snapshot.items():
+        rows = histogram(
+            current_df, col, base["lo"], base["hi"], base["n_bins"]
+        ).collect()
+        current[col] = {
+            "lo": base["lo"],
+            "hi": base["hi"],
+            "n_bins": base["n_bins"],
+            "counts": {int(r["bin_id"]): int(r["bin_count"]) for r in rows},
+        }
+    return compare(baseline_snapshot, current)

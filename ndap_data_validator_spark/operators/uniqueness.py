@@ -1,0 +1,54 @@
+"""Composite-key uniqueness check (north_rule: (conv_id, turn_idx)).
+
+The reference's nearest pattern is the latest-per-key dedup window
+(``/root/reference/utils/db.py:493-501``, ROW_NUMBER over token). For a
+*violation census* a plain ``groupBy(keys).count() > 1`` is strictly cheaper
+than a window: the aggregate does map-side partial counting before the
+shuffle, whereas a window shuffles every row. Both are provided; the window
+variant also returns the offending rows themselves with a stable ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(df: DataFrame, key_columns: list[str]) -> DataFrame:
+    """Keys appearing more than once → (key…, dup_count). NULL keys are kept
+    (groupBy groups nulls), matching 'a null conv_id is still a key value'."""
+    return (
+        df.groupBy(*key_columns)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def duplicate_rows(
+    df: DataFrame, key_columns: list[str], order_by: list[str] | None = None
+) -> DataFrame:
+    """All rows participating in a duplicated key, each tagged with its
+    occurrence number under a stable ordering (for byte-comparable reports).
+    Implemented as count + row_number over one window partitioning — a single
+    shuffle on the key."""
+    w = Window.partitionBy(*key_columns).orderBy(
+        *[F.col(c).asc_nulls_last() for c in (order_by or key_columns)]
+    )
+    return (
+        df.withColumn("occurrence", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy(*key_columns)))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def latest_per_key(
+    df: DataFrame, key_columns: list[str], order_col: str
+) -> DataFrame:
+    """The reference's ROW_NUMBER()=1 latest-per-key dedup
+    (utils/db.py:493-501): keep the newest row per key by ``order_col``."""
+    w = Window.partitionBy(*key_columns).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

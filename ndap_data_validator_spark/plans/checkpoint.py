@@ -1,0 +1,110 @@
+"""Checkpoint table: per-partition lineage + rule digest + metrics, and the
+resume protocol that skips completed partitions.
+
+Reference pattern being re-expressed: the app rebuilds in-memory run state
+from DuckDB when a different uvicorn worker handles the next step
+(``/root/reference/main.py:1208-1249``, ``1527-1550``;
+``utils/db.py:344-379`` validation snapshots) — i.e. durable per-run,
+per-step completion records keyed by token. Here the unit of completion is a
+*table partition* and the record carries the rule-catalog digest, so a rerun
+with edited rules invalidates prior completions automatically.
+
+Storage: an Iceberg table in production (append = atomic snapshot commit);
+in this sandbox a parquet directory in append mode — each commit writes one
+small file, and idempotency comes from the report writer using dynamic
+partition overwrite keyed by partition_id (re-validating a partition
+replaces, never duplicates, its report rows).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+NULL_PARTITION = "<null>"
+
+CHECKPOINT_SCHEMA = (
+    "run_id string, partition_id string, rule_digest string, "
+    "status string, metrics_json string, committed_at timestamp"
+)
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+
+    def completed_partitions(self, run_id: str, rule_digest: str) -> set[str]:
+        """Partitions already 'done' for this run UNDER THE SAME rule digest
+        — a changed catalog must re-validate everything it touches."""
+        rows = (
+            self._read()
+            .where(
+                (F.col("run_id") == run_id)
+                & (F.col("rule_digest") == rule_digest)
+                & (F.col("status") == "done")
+            )
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def mark_done(
+        self, run_id: str, partition_id: str, rule_digest: str, metrics: dict
+    ) -> None:
+        row = [
+            (
+                run_id,
+                partition_id,
+                rule_digest,
+                "done",
+                json.dumps(metrics, sort_keys=True),
+            )
+        ]
+        (
+            self.spark.createDataFrame(
+                row,
+                "run_id string, partition_id string, rule_digest string, "
+                "status string, metrics_json string",
+            )
+            .withColumn("committed_at", F.current_timestamp())
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def mark_done_bulk(
+        self, run_id: str, rule_digest: str, partition_metrics: dict[str, dict]
+    ) -> None:
+        """One append commit for many partitions (one file, not one per
+        partition — at 10^4 partitions per run this matters)."""
+        if not partition_metrics:
+            return
+        rows = [
+            (run_id, pid, rule_digest, "done", json.dumps(m, sort_keys=True))
+            for pid, m in partition_metrics.items()
+        ]
+        (
+            self.spark.createDataFrame(
+                rows,
+                "run_id string, partition_id string, rule_digest string, "
+                "status string, metrics_json string",
+            )
+            .withColumn("committed_at", F.current_timestamp())
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def run_log(self, run_id: str) -> DataFrame:
+        return self._read().where(F.col("run_id") == run_id)

@@ -1,0 +1,133 @@
+"""End-to-end validation run: checkpointed, resumable, skew-aware.
+
+The reference's EP2 lifecycle (``/root/reference/main.py:835-1130``) loops
+files sequentially, validating each and logging per-file results. Here the
+"files" are table partitions and the whole remaining set is validated in ONE
+Spark job (partition parallelism replaces the loop); completion is recorded
+per partition so a killed run resumes by skipping 'done' partitions —
+SURVEY.md §7.7.
+
+Resume filter: ``partition_key NOT IN (done)`` — expressed with
+``~isin(...)`` over the derived key (null-safe via coalesce to a sentinel).
+On a partitioned Iceberg/parquet source this predicate reaches the source as
+partition pruning, so skipped partitions are never even read.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.operators.validate import ValidationEngine, ValidationResult
+from ndap_data_validator_spark.plans.checkpoint import NULL_PARTITION, CheckpointStore
+from ndap_data_validator_spark.rules.model import (
+    ColumnAssignment,
+    RuleCatalog,
+    assignment_digest,
+)
+
+
+def new_run_id() -> str:
+    """RUN-XXXXXXXX, like the reference's run ids (main.py:103-104)."""
+    return f"RUN-{uuid.uuid4().hex[:8].upper()}"
+
+
+@dataclass
+class RunOutcome:
+    run_id: str
+    rule_digest: str
+    processed_partitions: list[str]
+    skipped_partitions: list[str]
+    passed_all: bool  # fold over ALL partitions of this run (main.py:926-936)
+    result: ValidationResult | None  # plans for the processed remainder
+
+
+def partition_key(partition_by: str | Column) -> Column:
+    col = F.col(partition_by) if isinstance(partition_by, str) else partition_by
+    return F.coalesce(col.cast("string"), F.lit(NULL_PARTITION))
+
+
+def run_validation(
+    spark: SparkSession,
+    df: DataFrame,
+    assignments: list[ColumnAssignment],
+    partition_by: str | Column,
+    checkpoint_path: str,
+    run_id: str | None = None,
+    order_by: list[str] | None = None,
+    report_path: str | None = None,
+    catalog: RuleCatalog | None = None,
+    schema_name: str | None = None,
+) -> RunOutcome:
+    engine = ValidationEngine(catalog=catalog, schema_name=schema_name)
+    run_id = run_id or new_run_id()
+    digest = assignment_digest(assignments, engine.catalog, engine.schema_name)
+    store = CheckpointStore(spark, checkpoint_path)
+
+    key = partition_key(partition_by)
+    done = store.completed_partitions(run_id, digest)
+
+    remaining = df.where(~key.isin(sorted(done))) if done else df
+
+    result = engine.validate(
+        remaining, assignments, partition_by=key, order_by=order_by
+    )
+
+    if report_path is not None:
+        # dynamic partition overwrite → re-validating a partition replaces
+        # its rows; a re-run after crash is idempotent.
+        (
+            result.per_column_report.write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{report_path}/per_column")
+        )
+        (
+            result.violations.write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{report_path}/violations")
+        )
+
+    summaries = result.summary.collect()  # one row per partition — tiny
+    metrics = {
+        r["partition_id"]: {
+            "rows": r["rows"],
+            "failed_count": r["failed_count"],
+            "failed_columns": list(r["failed_columns"]),
+            "passed": r["passed"],
+        }
+        for r in summaries
+    }
+    store.mark_done_bulk(run_id, digest, metrics)
+
+    # passed_all folds over every partition recorded for this run — the
+    # resumed half plus previously-done ones (main.py:926-936 semantics).
+    import json as _json
+
+    log = store.run_log(run_id).where(F.col("rule_digest") == digest).collect()
+    passed_all = all(
+        _json.loads(r["metrics_json"]).get("passed", False) for r in log
+    ) and len(log) > 0
+
+    return RunOutcome(
+        run_id=run_id,
+        rule_digest=digest,
+        processed_partitions=sorted(metrics),
+        skipped_partitions=sorted(done),
+        passed_all=passed_all,
+        result=result,
+    )
+
+
+def salt_repartition(
+    df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 8
+) -> DataFrame:
+    """Two-phase skew mitigation for heavy groupBy keys (SURVEY.md §4.1):
+    spread one hot key (e.g. the skewed conv_id) over ``salt_buckets``
+    shuffle partitions. Aggregations over (key, salt) then re-aggregate by
+    key — callers compose this; for the validation aggregates AQE's
+    skew handling usually suffices, so this is opt-in."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    return df.repartition(num_partitions, F.col(key), salt)

@@ -1,0 +1,191 @@
+"""Rule catalog + role model.
+
+Mirrors the reference's rule vocabulary —
+``/root/reference/utils/validation_rules.json`` (per-schema × per-role flags
+``notNull / mandatory / numericOnly``) and the role model of
+``/root/reference/utils/validation.py:137-144`` (``ROLE_OPTIONS``,
+``MEASURE_TYPES``) — and extends it with the engine-level rules the north
+star requires: range, regex-domain, uniqueness keys, referential integrity,
+and drift checks. The catalog is plain data; compilation to Catalyst
+expressions lives in ``functions/`` and ``operators/``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from importlib import resources
+from typing import Any
+
+ROLE_OPTIONS = ["Location", "Time", "Measures", "Others"]
+MEASURE_TYPES = ["integer", "float"]
+
+# Physical types the coercion layer supports
+# (reference DATATYPE_OPTIONS, utils/validation.py:11-19).
+DATATYPE_OPTIONS = [
+    "string",
+    "integer",
+    "float",
+    "boolean",
+    "date",
+    "datetime",
+    "category",
+]
+
+# Exact reason strings — part of the report contract
+# (utils/validation.py:289, 292, 320, 327; note trailing space in the
+# time-format message and the absent 6th pattern, both reproduced verbatim).
+REASON_NON_NUMERIC = "Non-numeric values detected"
+REASON_NO_NULLS = "No Nulls allowed"
+REASON_INVALID_TIME = (
+    "Invalid time format; allowed: 'YYYY', 'YYYY-YY', 'MMM-YYYY', "
+    "'MMM-MMM, YYYY', 'MMM - MMM, YYYY' "
+)
+REASON_INCONSISTENT_TIME = "Inconsistent time formats across rows"
+
+# Roles hard-required regardless of catalog flags
+# (utils/validation.py:345-348).
+HARD_REQUIRED_ROLES = ("Time", "Measures")
+
+
+@dataclass(frozen=True)
+class RoleRule:
+    not_null: bool = False
+    mandatory: bool = False
+    numeric_only: bool = False
+
+
+@dataclass(frozen=True)
+class ColumnAssignment:
+    """One column's role binding — the logical-schema layer the reference
+    collects from ``role_{col}`` / ``measure_type_{col}`` form fields
+    (main.py:846-851).
+
+    Engine extensions (all optional, default off):
+      * ``min_value``/``max_value`` — inclusive range rule on the coerced value
+      * ``regex`` — value-domain rule (full-match) on the string form
+      * ``time_date_only`` — datetime → date truncation (validation.py:84)
+    """
+
+    column: str
+    role: str = "Others"
+    measure_type: str | None = None  # integer | float (Measures only)
+    min_value: float | None = None
+    max_value: float | None = None
+    regex: str | None = None
+    time_date_only: bool = False
+
+    def __post_init__(self) -> None:
+        if self.role not in ROLE_OPTIONS:
+            raise ValueError(f"unknown role {self.role!r}; one of {ROLE_OPTIONS}")
+        if self.measure_type is not None and self.measure_type not in MEASURE_TYPES:
+            raise ValueError(
+                f"unknown measure_type {self.measure_type!r}; one of {MEASURE_TYPES}"
+            )
+
+
+@dataclass(frozen=True)
+class UniquenessRule:
+    """Composite-key uniqueness, e.g. (conv_id, turn_idx)."""
+
+    key_columns: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class ReferentialRule:
+    """Referential integrity: every non-null ``column`` value must exist in
+    ``ref_table_name.ref_column`` (violations = left-anti join)."""
+
+    column: str
+    ref_table_name: str
+    ref_column: str
+
+
+@dataclass
+class RuleCatalog:
+    """Parsed catalog: per-schema role rules + default schema name."""
+
+    default_schema: str
+    schemas: dict[str, dict[str, RoleRule]]
+    raw: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, data: dict[str, Any]) -> "RuleCatalog":
+        schemas: dict[str, dict[str, RoleRule]] = {}
+        for schema_name, roles in (data.get("schemas") or {}).items():
+            schemas[schema_name] = {
+                role: RoleRule(
+                    not_null=bool(flags.get("notNull", False)),
+                    mandatory=bool(flags.get("mandatory", False)),
+                    numeric_only=bool(flags.get("numericOnly", False)),
+                )
+                for role, flags in roles.items()
+                if isinstance(flags, dict)
+            }
+        return cls(
+            default_schema=data.get("defaultSchema") or "National",
+            schemas=schemas,
+            raw=data,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "RuleCatalog":
+        return cls.from_dict(json.loads(text))
+
+    def schema_rules(self, schema_name: str | None = None) -> dict[str, RoleRule]:
+        key = schema_name or self.default_schema
+        return self.schemas.get(key, {})
+
+    def mandatory_roles(self, schema_name: str | None = None) -> list[str]:
+        """Catalog-mandatory roles plus the hard-required Time/Measures
+        (utils/validation.py:344-348) — order preserved as the reference
+        builds it (catalog order, then appended hard-required)."""
+        rules = self.schema_rules(schema_name)
+        mandatory = [r for r, flags in rules.items() if flags.mandatory]
+        for hard in HARD_REQUIRED_ROLES:
+            if hard not in mandatory:
+                mandatory.append(hard)
+        return mandatory
+
+    def digest(self) -> str:
+        """Stable digest of the catalog for checkpoint lineage: a re-run with
+        a changed catalog must not skip 'done' partitions."""
+        canonical = json.dumps(self.raw, sort_keys=True, separators=(",", ":"))
+        return hashlib.sha256(canonical.encode("utf-8")).hexdigest()
+
+
+def load_default_catalog() -> RuleCatalog:
+    text = (
+        resources.files("ndap_data_validator_spark.rules")
+        .joinpath("catalog.json")
+        .read_text(encoding="utf-8")
+    )
+    return RuleCatalog.from_json(text)
+
+
+def assignment_digest(
+    assignments: list[ColumnAssignment],
+    catalog: RuleCatalog,
+    schema_name: str | None = None,
+) -> str:
+    """Digest of (catalog, schema, role assignment) — the full rule identity
+    a checkpoint row records."""
+    payload = {
+        "catalog": catalog.digest(),
+        "schema": schema_name or catalog.default_schema,
+        "assignments": [
+            {
+                "column": a.column,
+                "role": a.role,
+                "measure_type": a.measure_type,
+                "min": a.min_value,
+                "max": a.max_value,
+                "regex": a.regex,
+                "date_only": a.time_date_only,
+            }
+            for a in sorted(assignments, key=lambda a: a.column)
+        ],
+    }
+    canonical = json.dumps(payload, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha256(canonical.encode("utf-8")).hexdigest()

@@ -1,0 +1,119 @@
+"""Resume tests (SURVEY.md §5.5): kill after K of N partitions → re-run
+skips K and the final reports are identical to a clean one-shot run."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.plans.checkpoint import CheckpointStore
+from ndap_data_validator_spark.plans.pipeline import (
+    new_run_id,
+    partition_key,
+    run_validation,
+)
+from ndap_data_validator_spark.rules.model import ColumnAssignment, assignment_digest
+from ndap_data_validator_spark.operators.validate import ValidationEngine
+from ndap_data_validator_spark.sources.datagen import transcripts
+
+ASSIGNS = [
+    ColumnAssignment("conv_id", "Location"),
+    ColumnAssignment("turn_idx", "Measures", "integer", min_value=0),
+    ColumnAssignment("role", "Others", regex=r"^(user|assistant|tool)$"),
+    ColumnAssignment("ts", "Others"),
+]
+
+def PART():
+    return F.substring("conv_id", 6, 1)  # few coarse partitions
+
+
+@pytest.fixture()
+def tdf(spark):
+    return transcripts(spark, 2_000, 50, seed=42)
+
+
+def test_resume_skips_done_partitions(spark, tdf, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    run_id = new_run_id()
+    engine = ValidationEngine()
+    digest = assignment_digest(ASSIGNS, engine.catalog, engine.schema_name)
+
+    # simulate a prior run that completed partition "0" then died
+    all_parts = [
+        r[0] for r in tdf.select(partition_key(PART())).distinct().collect()
+    ]
+    store = CheckpointStore(spark, ckpt)
+    store.mark_done(run_id, all_parts[0], digest, {"rows": 0, "passed": True})
+
+    outcome = run_validation(
+        spark, tdf, ASSIGNS, PART(), checkpoint_path=ckpt, run_id=run_id
+    )
+    assert outcome.skipped_partitions == [all_parts[0]]
+    assert set(outcome.processed_partitions) == set(all_parts) - {all_parts[0]}
+    # the skipped partition was not re-validated
+    got_parts = {
+        r["partition_id"] for r in outcome.result.summary.collect()
+    }
+    assert all_parts[0] not in got_parts
+
+
+def test_resumed_reports_match_clean_run(spark, tdf, tmp_path):
+    # clean one-shot
+    clean = run_validation(
+        spark, tdf, ASSIGNS, PART(), checkpoint_path=str(tmp_path / "c1"),
+        report_path=str(tmp_path / "r1"),
+    )
+    # interrupted run: partition done-marked, then resumed with report writes
+    run_id = new_run_id()
+    ckpt2 = str(tmp_path / "c2")
+    engine = ValidationEngine()
+    digest = assignment_digest(ASSIGNS, engine.catalog, engine.schema_name)
+    store = CheckpointStore(spark, ckpt2)
+
+    first_part = sorted(clean.processed_partitions)[0]
+    # "first half" run: validate ONLY that partition and write its report
+    sub = tdf.where(partition_key(PART()) == first_part)
+    r1 = run_validation(
+        spark, sub, ASSIGNS, PART(), checkpoint_path=ckpt2, run_id=run_id,
+        report_path=str(tmp_path / "r2"),
+    )
+    assert r1.processed_partitions == [first_part]
+    # resume over the full table
+    r2 = run_validation(
+        spark, tdf, ASSIGNS, PART(), checkpoint_path=ckpt2, run_id=run_id,
+        report_path=str(tmp_path / "r2"),
+    )
+    assert r2.skipped_partitions == [first_part]
+
+    a = spark.read.parquet(str(tmp_path / "r1/per_column"))
+    b = spark.read.parquet(str(tmp_path / "r2/per_column"))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert clean.passed_all == r2.passed_all
+
+
+def test_rule_change_invalidates_checkpoint(spark, tdf, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    run_id = new_run_id()
+    out1 = run_validation(spark, tdf, ASSIGNS, PART(), checkpoint_path=ckpt, run_id=run_id)
+    assert out1.skipped_partitions == []
+    # same run id, changed rules → nothing skipped
+    changed = [ASSIGNS[0], ColumnAssignment("turn_idx", "Measures", "integer", min_value=5)] + ASSIGNS[2:]
+    out2 = run_validation(spark, tdf, changed, PART(), checkpoint_path=ckpt, run_id=run_id)
+    assert out2.skipped_partitions == []
+    # unchanged rules → everything skipped
+    out3 = run_validation(spark, tdf, ASSIGNS, PART(), checkpoint_path=ckpt, run_id=run_id)
+    assert set(out3.skipped_partitions) == set(out1.processed_partitions)
+    assert out3.processed_partitions == []
+
+
+def test_metrics_json_recorded(spark, tdf, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out = run_validation(spark, tdf, ASSIGNS, PART(), checkpoint_path=ckpt)
+    store = CheckpointStore(spark, ckpt)
+    rows = store.run_log(out.run_id).collect()
+    assert len(rows) == len(out.processed_partitions)
+    m = json.loads(rows[0]["metrics_json"])
+    assert {"rows", "failed_count", "failed_columns", "passed"} <= set(m)
