@@ -1,38 +1,813 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data ops (dedup, similarity, text analysis);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each (omitted only for
+genuinely non-SQL-expressible ops, which get rows-only checks).
+
+Parity notes baked into every query pair:
+  * aggregates/computed columns aliased identically on both sides;
+  * DuckDB SUM(int) returns HUGEINT → always CAST(... AS BIGINT);
+  * double reductions that feed ROUND go through exact DECIMAL sums or are
+    rounded far from representable boundaries;
+  * float embeddings are cast to array<double>/DOUBLE[] BEFORE any math so
+    both engines do the same IEEE ops in the same order;
+  * the shared "derived transcripts" frame is built from ``events`` with the
+    same integer-keyed CASE logic in both dialects.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from ndap_data_validator_spark.operators import drift as drift_mod
+from ndap_data_validator_spark.operators import multimodal
+from ndap_data_validator_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ndap_data_validator_spark.operators.referential import ri_violation_counts
+from ndap_data_validator_spark.operators.similarity import cosine, hyperplanes, lsh_signature
+from ndap_data_validator_spark.operators.stats import column_stats, merge_hll_to_global
+from ndap_data_validator_spark.operators.uniqueness import duplicate_keys
+from ndap_data_validator_spark.operators.validate import ValidationEngine
+from ndap_data_validator_spark.functions import textstats as T
+from ndap_data_validator_spark.functions.coercion import compile_role_coercion
+from ndap_data_validator_spark.functions.timeformat import time_format_label
+from ndap_data_validator_spark.rules.model import ColumnAssignment
+
+# --------------------------------------------------------------------- io
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ------------------------------------------------- shared derived transcripts
+# A transcript-shaped frame derived from `events` with injected coercion /
+# time-format / null edge cases — the SAME integer-keyed CASE logic in the
+# Spark build (below) and the DuckDB CTE (DERIVED_SQL), so the validation
+# engine's counts are oracle-checkable.
+
+_SPARK_DERIVED_EXPRS = [
+    "concat('conv-', CAST(user_id % 20 AS STRING)) AS conv_id",
+    "CAST(event_id % 100 AS INT) AS turn_idx",
+    "event_type AS role",
+    """CASE CAST(event_id % 6 AS INT)
+         WHEN 0 THEN CAST(year(ts) AS STRING)
+         WHEN 1 THEN concat('Mar-', CAST(year(ts) AS STRING))
+         WHEN 2 THEN concat(CAST(year(ts) AS STRING), '-12')
+         WHEN 3 THEN concat('Q1 ', CAST(year(ts) AS STRING))
+         WHEN 4 THEN ''
+         ELSE NULL END AS year_str""",
+    """CASE CAST(event_id % 8 AS INT)
+         WHEN 5 THEN CAST(value AS STRING)
+         WHEN 6 THEN 'N/A'
+         WHEN 7 THEN NULL
+         ELSE CAST(CAST(value * 100 AS BIGINT) AS STRING) END AS int_m""",
+    """CASE CAST(event_id % 5 AS INT)
+         WHEN 3 THEN 'junk'
+         WHEN 4 THEN NULL
+         ELSE CAST(value AS STRING) END AS float_m""",
+    "props AS tag",
+]
+
+DERIVED_SQL = """
+  SELECT
+    'conv-' || CAST(user_id % 20 AS VARCHAR) AS conv_id,
+    CAST(event_id % 100 AS INT) AS turn_idx,
+    event_type AS role,
+    CASE CAST(event_id % 6 AS INT)
+      WHEN 0 THEN CAST(year(ts) AS VARCHAR)
+      WHEN 1 THEN 'Mar-' || CAST(year(ts) AS VARCHAR)
+      WHEN 2 THEN CAST(year(ts) AS VARCHAR) || '-12'
+      WHEN 3 THEN 'Q1 ' || CAST(year(ts) AS VARCHAR)
+      WHEN 4 THEN ''
+      ELSE NULL END AS year_str,
+    CASE CAST(event_id % 8 AS INT)
+      WHEN 5 THEN CAST(value AS VARCHAR)
+      WHEN 6 THEN 'N/A'
+      WHEN 7 THEN NULL
+      ELSE CAST(CAST(value * 100 AS BIGINT) AS VARCHAR) END AS int_m,
+    CASE CAST(event_id % 5 AS INT)
+      WHEN 3 THEN 'junk'
+      WHEN 4 THEN NULL
+      ELSE CAST(value AS VARCHAR) END AS float_m,
+    props AS tag
+  FROM events
+"""
+
+# DuckDB version of the 6-pattern time-format labeler (functions/timeformat.py)
+_M = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+LABEL_SQL = rf"""
+    CASE
+      WHEN trim(s) = '' THEN NULL
+      WHEN regexp_matches(trim(s), '^\d{{4}}$') THEN 'YYYY'
+      WHEN regexp_matches(trim(s), '^\d{{4}}-\d{{2}}$') THEN 'YYYY-YY'
+      WHEN regexp_matches(trim(s), '(?i)^(?:{_M})-\d{{4}}$') THEN 'MMM-YYYY'
+      WHEN regexp_matches(trim(s), '(?i)^(?:{_M})-(?:{_M}),\s*\d{{4}}$') THEN 'MMM-MMM, YYYY'
+      WHEN regexp_matches(trim(s), '(?i)^(?:{_M}) - (?:{_M}),\s*\d{{4}}$') THEN 'MMM - MMM, YYYY'
+      WHEN regexp_matches(trim(s), '(?i)^(0?[1-9]|[12][0-9]|3[01])-(?:{_M})-\d{{4}}$') THEN 'DD-MMM-YYYY'
+      ELSE NULL END
+"""
+
+REASON_INVALID_TIME = (
+    "Invalid time format; allowed: 'YYYY', 'YYYY-YY', 'MMM-YYYY', "
+    "'MMM-MMM, YYYY', 'MMM - MMM, YYYY' "
+)
+
+_DERIVED_ASSIGNMENTS = [
+    ColumnAssignment("conv_id", "Location"),
+    ColumnAssignment("turn_idx", "Measures", "integer"),
+    ColumnAssignment("role", "Others"),
+    ColumnAssignment("year_str", "Time"),
+    ColumnAssignment("int_m", "Measures", "integer"),
+    ColumnAssignment("float_m", "Measures", "float"),
+    ColumnAssignment("tag", "Others"),
+]
+
+
+def _derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").selectExpr(*_SPARK_DERIVED_EXPRS)
+
+
+# ------------------------------------------------------------------ queries
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full rule-catalog validation report (EP2 lifecycle —
+    coerce + count + rule evaluation in one shared scan) on the derived
+    transcripts frame at sf0.001."""
+    return q_validation_report(spark, "/root/testdata/sf0.001")
+
+
+def q_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: per-column null counts in ONE agg over one scan (the reference
+    re-parses per column; main.py:677, validation.py:127)."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in e.columns]
+    )
+    structs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column"), F.col(c).alias("nulls"))
+            for c in e.columns
+        ]
+    )
+    return agg.select(F.explode(structs).alias("s")).select("s.column", "s.nulls")
+
+
+def q_coercion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C3 conversion-error counting (errors = src non-null & coerced null,
+    fractional→integer errors) as a long-form report."""
+    d = _derived(spark, sf_dir)
+    cols = [("int_m", "integer"), ("float_m", "float")]
+    aggs = []
+    for name, mtype in cols:
+        cc = compile_role_coercion(name, "Measures", mtype)
+        aggs.append(F.sum(cc.error_pred.cast("long")).alias(name))
+    agg = d.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(F.lit(n).alias("column"), F.col(n).alias("conversion_errors"))
+            for n, _ in cols
+        ]
+    )
+    return agg.select(F.explode(structs).alias("s")).select(
+        "s.column", "s.conversion_errors"
+    )
+
+
+def q_time_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/A4: label census over the 6-pattern chain; invalid non-nulls
+    bucketed as '<invalid>'."""
+    d = _derived(spark, sf_dir)
+    lbl = time_format_label(F.col("year_str"))
+    return (
+        d.where(F.col("year_str").isNotNull())
+        .groupBy(F.coalesce(lbl, F.lit("<invalid>")).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 core: full per-column validation report from one shared scan."""
+    res = ValidationEngine().validate(_derived(spark, sf_dir), _DERIVED_ASSIGNMENTS)
+    return res.per_column_report.select(
+        "partition_id",
+        "column",
+        "role",
+        "nulls",
+        "conversion_errors",
+        "passed",
+        F.concat_ws("; ", "reasons").alias("reasons"),
+    )
+
+
+def q_partition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition summaries ≙ the reference's per-file report rows
+    (main.py:913-920), partitioned by the role column."""
+    res = ValidationEngine().validate(
+        _derived(spark, sf_dir), _DERIVED_ASSIGNMENTS, partition_by="role"
+    )
+    return res.summary.select(
+        "partition_id",
+        F.col("rows").alias("n_rows"),
+        "failed_count",
+        "passed",
+        F.concat_ws(",", "failed_columns").alias("failed_columns"),
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: latest-per-key dedup (ROW_NUMBER over desc ordering,
+    utils/db.py:493-501), deterministic tie-break on event_id."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_join_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left equi-join facts↔dim + per-group rollup; DECIMAL sums so both
+    engines aggregate exactly."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+def q_union_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION-distinct of key sets from three tables (utils/db.py:503-509)."""
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("token"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("token"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("token"))
+    return e.union(o).union(c).distinct()
+
+
+def q_uniqueness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule uniqueness: composite-key dup census via groupBy count>1."""
+    o = _t(spark, sf_dir, "orders")
+    return duplicate_keys(o, ["o_custkey", "o_orderpriority"]).select(
+        "o_custkey", "o_orderpriority", "dup_count"
+    )
+
+
+def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/north_rule RI: dangling references via broadcast left-anti join
+    (dimension restricted to even keys so violations exist)."""
+    e = _t(spark, sf_dir, "events")
+    ref = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 2 == 0)
+    return ri_violation_counts(e, "user_id", ref, "c_custkey").select(
+        F.col("value").alias("user_id"), "violation_count"
+    )
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_star per-column stats block (exact distinct here so the oracle
+    can verify; the engine's approx/HLL variant is q_hll_distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(c), 2).alias(f"{c}__stddev"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    agg = li.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+                F.col(f"{c}__mean").alias("mean_v"),
+                F.col(f"{c}__stddev").alias("stddev_v"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return agg.select(F.explode(structs).alias("s")).select(
+        "s.column", "s.min_v", "s.max_v", "s.mean_v", "s.stddev_v", "s.n_distinct"
+    )
+
+
+_DRIFT_LO, _DRIFT_HI, _DRIFT_BINS = 0.0, 500_000.0, 20
+
+
+def q_drift_ks_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS/PSI drift between two halves of orders (orderdate ≤1997 vs >1997)
+    over fixed bins — histogram in the scan, math on ≤22-row frames."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.year("o_orderdate") <= 1997)
+    cur = o.where(F.year("o_orderdate") > 1997)
+
+    def counts(df):
+        rows = drift_mod.histogram(
+            df, "o_totalprice", _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS
+        ).collect()
+        return {int(r["bin_id"]): int(r["bin_count"]) for r in rows}
+
+    snap = {
+        "o_totalprice": {
+            "lo": _DRIFT_LO,
+            "hi": _DRIFT_HI,
+            "n_bins": _DRIFT_BINS,
+            "counts": counts(base),
+        }
+    }
+    cur_snap = {
+        "o_totalprice": {
+            "lo": _DRIFT_LO,
+            "hi": _DRIFT_HI,
+            "n_bins": _DRIFT_BINS,
+            "counts": counts(cur),
+        }
+    }
+    (r,) = drift_mod.compare(snap, cur_snap)
+    return spark.createDataFrame(
+        [(r.column, round(r.ks, 6), round(r.psi, 4))],
+        "column string, ks double, psi double",
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup groups over documents: (fingerprint, keeper_id, dup_count)
+    for ALL groups (synthetic docs may have no dups; the grouping itself is
+    the operator under test)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("doc_id"), T.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs on a bounded slice (the VERIFY
+    stage of the dedup pipeline)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return ngram_jaccard_pairs(d, n=1, threshold=0.9).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count_ws(c).alias("n_tokens_ws"),
+        F.round(T.alpha_ratio(c), 4).alias("alpha_ratio"),
+        F.round(T.stopword_ratio(c), 4).alias("stopword_ratio"),
+        T.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.token_count_bpe(F.col("text")).alias("n_tokens_bpe"))
+
+
+def q_knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, threshold form: all corpus vectors with cosine ≥
+    0.25 to any of 10 query vectors. Queries broadcast; arrays cast to
+    double BEFORE math so both engines do identical IEEE ops."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    cos = cosine(F.col("qv"), F.col("v"))
+    return (
+        q.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .where(cos >= 0.25)
+        .select("query_id", "vec_id", F.round(cos, 4).alias("cos"))
+    )
+
+
+_ANN_PLANES = 8
+_ANN_DIM = 64
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucket assignment (the
+    precomputable index column)."""
+    planes = hyperplanes(_ANN_DIM, _ANN_PLANES, seed=42)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return emb.select("vec_id", lsh_signature(F.col("v"), planes).alias("bucket"))
+
+
+# ---- rows-only queries (no SQL oracle: multi-stage/driver-math/UDF paths)
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline on documents + a planted clone."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    clone = d.where(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(1_000_000).cast("long")
+    )
+    return minhash_near_duplicates(
+        d.unionByName(clone), num_hashes=16, bands=8, threshold=0.8
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch path: per-partition HLL sketches unioned to global
+    distinct estimates without rescanning."""
+    e = _t(spark, sf_dir, "events")
+    st = column_stats(
+        e, ["user_id", "event_type"], partition_by=(F.col("user_id") % 8)
+    )
+    return merge_hll_to_global(st)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads through the Arrow-batched
+    mapInPandas feature extractor (deterministic stub kernel)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = d.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 2 + 1).cast("int"),
+        ).alias("kind"),
+        F.sha2(F.col("text"), 256).cast("binary").alias("content"),
+    )
+    return multimodal.extract_features(media, fake=True)
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k (rank ties FP-sensitive across engines →
+    rows-only check; the threshold variant above is oracle-checked)."""
+    from ndap_data_validator_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "null_census": q_null_census,
+        "coercion_report": q_coercion_report,
+        "time_format_census": q_time_format_census,
+        "validation_report": q_validation_report,
+        "partition_summary": q_partition_summary,
+        "latest_event_per_user": q_latest_event_per_user,
+        "join_lineage": q_join_lineage,
+        "union_tokens": q_union_tokens,
+        "uniqueness_violations": q_uniqueness_violations,
+        "ri_orphans": q_ri_orphans,
+        "column_stats": q_column_stats,
+        "drift_ks_psi": q_drift_ks_psi,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_count_bpe": q_token_count_bpe,
+        "knn_threshold": q_knn_threshold,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        # rows-only (no SQL oracle)
+        "minhash_candidates": q_minhash_candidates,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "hll_distinct": q_hll_distinct,
+        "media_features": q_media_features,
+        "knn_topk": q_knn_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracle SQL
+
+def _planes_sql() -> str:
+    planes = hyperplanes(_ANN_DIM, _ANN_PLANES, seed=42)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    null_census = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls FROM events"
+        for c in ev_cols
+    )
+
+    int_err = (
+        "int_m IS NOT NULL AND (TRY_CAST(int_m AS DOUBLE) IS NULL "
+        "OR fmod(TRY_CAST(int_m AS DOUBLE), 1) != 0)"
+    )
+    float_err = "float_m IS NOT NULL AND TRY_CAST(float_m AS DOUBLE) IS NULL"
+
+    coercion_report = f"""
+      WITH d AS ({DERIVED_SQL})
+      SELECT 'int_m' AS "column",
+             CAST(SUM(CASE WHEN {int_err} THEN 1 ELSE 0 END) AS BIGINT) AS conversion_errors
+      FROM d
+      UNION ALL
+      SELECT 'float_m',
+             CAST(SUM(CASE WHEN {float_err} THEN 1 ELSE 0 END) AS BIGINT)
+      FROM d
     """
-    return {}
+
+    time_format_census = f"""
+      WITH d AS ({DERIVED_SQL}),
+      lab AS (SELECT year_str AS s, {LABEL_SQL} AS label FROM d WHERE year_str IS NOT NULL)
+      SELECT COALESCE(label, '<invalid>') AS label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY 1
+    """
+
+    validation_report = f"""
+      WITH d AS ({DERIVED_SQL}),
+      lab AS (SELECT year_str AS s, {LABEL_SQL} AS label FROM d),
+      tmaj AS (SELECT COALESCE(MAX(c), 0) AS majority FROM
+                 (SELECT COUNT(*) AS c FROM lab WHERE label IS NOT NULL GROUP BY label)),
+      tagg AS (SELECT
+          CAST(SUM(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+          CAST(SUM(CASE WHEN s IS NOT NULL AND label IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS invalid,
+          CAST(COUNT(label) AS BIGINT) AS valid_total,
+          CAST(COUNT(DISTINCT label) AS BIGINT) AS n_formats
+        FROM lab),
+      agg AS (SELECT
+          CAST(SUM(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv_nulls,
+          CAST(SUM(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS role_nulls,
+          CAST(SUM(CASE WHEN tag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tag_nulls,
+          CAST(SUM(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS turn_nulls,
+          CAST(SUM(CASE WHEN int_m IS NULL OR {int_err} THEN 1 ELSE 0 END) AS BIGINT) AS int_nulls,
+          CAST(SUM(CASE WHEN {int_err} THEN 1 ELSE 0 END) AS BIGINT) AS int_errs,
+          CAST(SUM(CASE WHEN float_m IS NULL OR ({float_err}) THEN 1 ELSE 0 END) AS BIGINT) AS float_nulls,
+          CAST(SUM(CASE WHEN {float_err} THEN 1 ELSE 0 END) AS BIGINT) AS float_errs
+        FROM d)
+      SELECT '<all>' AS partition_id, 'conv_id' AS "column", 'Location' AS role,
+             conv_nulls AS nulls, CAST(0 AS BIGINT) AS conversion_errors,
+             conv_nulls = 0 AS passed,
+             CASE WHEN conv_nulls > 0 THEN 'No Nulls allowed' ELSE '' END AS reasons
+      FROM agg
+      UNION ALL
+      SELECT '<all>', 'turn_idx', 'Measures', turn_nulls, CAST(0 AS BIGINT), TRUE, '' FROM agg
+      UNION ALL
+      SELECT '<all>', 'role', 'Others', role_nulls, CAST(0 AS BIGINT), TRUE, '' FROM agg
+      UNION ALL
+      SELECT '<all>', 'year_str', 'Time',
+             t.nulls, t.invalid + (t.valid_total - CAST(m.majority AS BIGINT)),
+             (t.nulls = 0 AND t.invalid = 0 AND t.n_formats <= 1),
+             concat_ws('; ',
+               CASE WHEN t.nulls > 0 THEN 'No Nulls allowed' END,
+               CASE WHEN t.invalid > 0 THEN '{REASON_INVALID_TIME.replace("'", "''")}'
+                    WHEN t.n_formats > 1 THEN 'Inconsistent time formats across rows' END)
+      FROM tagg t, tmaj m
+      UNION ALL
+      SELECT '<all>', 'int_m', 'Measures', int_nulls, int_errs,
+             int_errs = 0,
+             CASE WHEN int_errs > 0 THEN 'Non-numeric values detected' ELSE '' END
+      FROM agg
+      UNION ALL
+      SELECT '<all>', 'float_m', 'Measures', float_nulls, float_errs,
+             float_errs = 0,
+             CASE WHEN float_errs > 0 THEN 'Non-numeric values detected' ELSE '' END
+      FROM agg
+      UNION ALL
+      SELECT '<all>', 'tag', 'Others', tag_nulls, CAST(0 AS BIGINT), TRUE, '' FROM agg
+    """
+
+    partition_summary = f"""
+      WITH d AS ({DERIVED_SQL}),
+      lab AS (SELECT role AS p, year_str AS s, {LABEL_SQL} AS label FROM d),
+      tagg AS (SELECT p,
+          SUM(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS nulls,
+          SUM(CASE WHEN s IS NOT NULL AND label IS NULL THEN 1 ELSE 0 END) AS invalid,
+          COUNT(DISTINCT label) AS n_formats
+        FROM lab GROUP BY p),
+      base AS (SELECT role AS p, COUNT(*) AS n_rows,
+          SUM(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS conv_nulls,
+          SUM(CASE WHEN {int_err} THEN 1 ELSE 0 END) AS int_errs,
+          SUM(CASE WHEN {float_err} THEN 1 ELSE 0 END) AS float_errs
+        FROM d GROUP BY role)
+      SELECT b.p AS partition_id, CAST(b.n_rows AS BIGINT) AS n_rows,
+        CAST((CASE WHEN b.conv_nulls > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN t.nulls > 0 OR t.invalid > 0 OR (t.invalid = 0 AND t.n_formats > 1) THEN 1 ELSE 0 END)
+           + (CASE WHEN b.int_errs > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN b.float_errs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS failed_count,
+        (b.conv_nulls = 0 AND b.int_errs = 0 AND b.float_errs = 0
+          AND t.nulls = 0 AND t.invalid = 0 AND t.n_formats <= 1) AS passed,
+        concat_ws(',',
+          CASE WHEN b.conv_nulls > 0 THEN 'conv_id' END,
+          CASE WHEN t.nulls > 0 OR t.invalid > 0 OR (t.invalid = 0 AND t.n_formats > 1) THEN 'year_str' END,
+          CASE WHEN b.int_errs > 0 THEN 'int_m' END,
+          CASE WHEN b.float_errs > 0 THEN 'float_m' END) AS failed_columns
+      FROM base b JOIN tagg t ON b.p = t.p
+    """
+
+    latest_event = """
+      SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    """
+
+    join_lineage = """
+      SELECT c.c_mktsegment AS c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    """
+
+    union_tokens = """
+      SELECT user_id AS token FROM events
+      UNION SELECT o_custkey FROM orders
+      UNION SELECT c_custkey FROM customer
+    """
+
+    uniqueness = """
+      SELECT o_custkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS dup_count
+      FROM orders GROUP BY o_custkey, o_orderpriority HAVING COUNT(*) > 1
+    """
+
+    ri_orphans = """
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS violation_count
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+      GROUP BY user_id
+    """
+
+    stats_cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    column_stats_sql = " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", MIN({c}) AS min_v, MAX({c}) AS max_v,
+            ROUND(AVG({c}), 4) AS mean_v, ROUND(STDDEV_SAMP({c}), 2) AS stddev_v,
+            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM lineitem"""
+        for c in stats_cols
+    )
+
+    w = (_DRIFT_HI - _DRIFT_LO) / _DRIFT_BINS
+    drift_sql = f"""
+      WITH bins AS (SELECT UNNEST(range(0, {_DRIFT_BINS + 2})) AS bin_id),
+      b AS (SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - {_DRIFT_LO}) / {w}) AS INT) + 1, 0), {_DRIFT_BINS + 1}) AS bin_id,
+                   COUNT(*) AS c
+            FROM orders WHERE year(o_orderdate) <= 1997 AND o_totalprice IS NOT NULL GROUP BY 1),
+      q AS (SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - {_DRIFT_LO}) / {w}) AS INT) + 1, 0), {_DRIFT_BINS + 1}) AS bin_id,
+                   COUNT(*) AS c
+            FROM orders WHERE year(o_orderdate) > 1997 AND o_totalprice IS NOT NULL GROUP BY 1),
+      f AS (SELECT bins.bin_id,
+                   COALESCE(b.c, 0)::DOUBLE / (SELECT SUM(c) FROM b) AS fp,
+                   COALESCE(q.c, 0)::DOUBLE / (SELECT SUM(c) FROM q) AS fq
+            FROM bins LEFT JOIN b ON bins.bin_id = b.bin_id LEFT JOIN q ON bins.bin_id = q.bin_id),
+      cdf AS (SELECT SUM(fp) OVER (ORDER BY bin_id) AS cp,
+                     SUM(fq) OVER (ORDER BY bin_id) AS cq FROM f),
+      k AS (SELECT MAX(ABS(cp - cq)) AS ks FROM cdf),
+      p AS (SELECT SUM((GREATEST(fq, 1e-6) - GREATEST(fp, 1e-6)) * LN(GREATEST(fq, 1e-6) / GREATEST(fp, 1e-6))) AS psi FROM f)
+      SELECT 'o_totalprice' AS "column", ROUND((SELECT ks FROM k), 6) AS ks, ROUND((SELECT psi FROM p), 4) AS psi
+    """
+
+    fingerprint_sql = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+    dedup_exact = f"""
+      SELECT {fingerprint_sql} AS fingerprint,
+             MIN(doc_id) AS keeper_id,
+             CAST(COUNT(*) AS BIGINT) AS dup_count
+      FROM documents GROUP BY 1
+    """
+
+    ngram_jaccard = r"""
+      WITH s AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS ws
+        FROM documents WHERE doc_id < 120)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.ws, b.ws))::DOUBLE
+                   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.ws, b.ws))::DOUBLE
+            / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
+    """
+
+    sw = "['the','a','an','of','and','or','to','in','is','are','was','for','on','with','as','at','by','it','this','that']"
+    text_quality = rf"""
+      WITH t AS (SELECT doc_id, text,
+            CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_tokens_ws,
+        ROUND(CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^\p{{L}}]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha_ratio,
+        ROUND(CASE WHEN len(toks) > 0
+              THEN len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains({sw}, x)))::DOUBLE / len(toks) END, 4) AS stopword_ratio,
+        {fingerprint_sql} AS fingerprint
+      FROM t
+    """
+
+    langs = {
+        "en": ["the", "and", "of", "is", "with", "that"],
+        "de": ["der", "die", "das", "und", "ist", "mit"],
+        "fr": ["le", "la", "les", "et", "est", "avec"],
+        "es": ["el", "la", "los", "es", "con", "que"],
+    }
+    hits = []
+    for lang, ws_ in langs.items():
+        lst = "[" + ",".join(f"'{w}'" for w in ws_) + "]"
+        hits.append(
+            f"len(list_filter(toks, x -> list_contains({lst}, x))) AS {lang}"
+        )
+    lang_id = rf"""
+      WITH t AS (SELECT doc_id,
+            CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                 ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+        FROM documents),
+      s AS (SELECT doc_id, {', '.join(hits)} FROM t)
+      SELECT doc_id,
+        CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+             WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+             WHEN fr > 0 AND fr >= es THEN 'fr'
+             WHEN es > 0 THEN 'es'
+             ELSE 'und' END AS lang_guess
+      FROM s
+    """
+
+    bpe_pat = T.BPE_ISH_TOKEN_RE.replace("'", "''")
+    token_count_bpe = f"""
+      SELECT doc_id,
+        CASE WHEN text IS NULL THEN NULL
+             ELSE CAST(len(regexp_extract_all(text, '{bpe_pat}')) AS INT) END AS n_tokens_bpe
+      FROM documents
+    """
+
+    knn_threshold = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+      FROM q, e
+      WHERE e.vec_id != q.query_id
+        AND list_dot_product(q.qv, e.v)
+            / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) >= 0.25
+    """
+
+    ann_lsh = f"""
+      SELECT vec_id, CAST({_planes_sql()} AS BIGINT) AS bucket FROM embeddings
+    """
+
+    return {
+        "null_census": null_census,
+        "coercion_report": coercion_report,
+        "time_format_census": time_format_census,
+        "validation_report": validation_report,
+        "partition_summary": partition_summary,
+        "latest_event_per_user": latest_event,
+        "join_lineage": join_lineage,
+        "union_tokens": union_tokens,
+        "uniqueness_violations": uniqueness,
+        "ri_orphans": ri_orphans,
+        "column_stats": column_stats_sql,
+        "drift_ks_psi": drift_sql,
+        "dedup_exact": dedup_exact,
+        "ngram_jaccard": ngram_jaccard,
+        "text_quality": text_quality,
+        "lang_id": lang_id,
+        "token_count_bpe": token_count_bpe,
+        "knn_threshold": knn_threshold,
+        "ann_lsh_buckets": ann_lsh,
+    }

@@ -1,0 +1,184 @@
+"""Bench harness.
+
+Default mode (what the driver runs): time every headline query from
+``__spark_entry__.queries()`` at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the core
+validated-turns/sec throughput job (full rule-catalog validation +
+uniqueness + RI over a deterministically generated transcripts table), and
+print ONE JSON line:
+  {"metric": "validated turns/sec", "value": N, "unit": "sec", ...}
+
+``--scaling`` mode: run the SAME throughput job at local[8] and local[32]
+(fresh subprocess each — one JVM cannot change master) on the SAME input and
+write throughput at both + scaling efficiency to BENCH/BASELINE.md — the
+sandbox evidence for the north_rule's N→4N executor criterion.
+
+``--turns-job CPUS N_ROWS`` (internal): one throughput measurement, prints
+'<seconds> <rows>'.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "4000000"))
+
+
+def _noop_write(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _throughput_job(spark, n_rows: int) -> float:
+    """The headline job: full validation (all rule aggregates in one shared
+    scan, per-partition reports, violations count) + uniqueness + RI over
+    generated transcripts. Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from ndap_data_validator_spark.operators.referential import ri_violation_counts
+    from ndap_data_validator_spark.operators.uniqueness import duplicate_keys
+    from ndap_data_validator_spark.operators.validate import ValidationEngine
+    from ndap_data_validator_spark.rules.model import ColumnAssignment
+    from ndap_data_validator_spark.sources.datagen import tool_catalog, transcripts
+
+    df = transcripts(spark, n_rows=n_rows, n_convs=max(n_rows // 1000, 10), seed=42)
+    assigns = [
+        ColumnAssignment("conv_id", "Location"),
+        ColumnAssignment("turn_idx", "Measures", "integer", min_value=0),
+        ColumnAssignment("role", "Others", regex=r"^(user|assistant|tool)$"),
+        ColumnAssignment("text", "Location"),
+        ColumnAssignment("tool", "Others"),
+        ColumnAssignment("ts", "Others"),
+    ]
+    t0 = time.time()
+    res = ValidationEngine().validate(
+        df,
+        assigns,
+        partition_by=F.pmod(F.xxhash64("conv_id"), F.lit(16)),
+        order_by=["conv_id", "turn_idx"],
+    )
+    _noop_write(res.per_column_report)
+    _noop_write(res.summary)
+    _noop_write(duplicate_keys(df, ["conv_id", "turn_idx"]))
+    _noop_write(ri_violation_counts(df, "tool", tool_catalog(spark), "tool_id"))
+    return time.time() - t0
+
+
+def _make_spark(cpus: int | None):
+    from ndap_data_validator_spark.session import get_spark
+
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return get_spark(
+        app_name="ndap-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+
+def run_default() -> None:
+    import __spark_entry__ as entry
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        try:
+            _noop_write(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record, don't die
+            timings[name] = -1.0
+            print(f"# bench query {name} failed: {e}", file=sys.stderr)
+
+    wall = _throughput_job(spark, BENCH_TURNS)
+    turns_per_sec = BENCH_TURNS / wall
+    timings["validated_turns_job"] = round(wall, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "validated turns/sec (full rule catalog + uniqueness + RI)",
+                "value": round(turns_per_sec, 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "bench_turns": BENCH_TURNS,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_turns_job(cpus: int, n_rows: int) -> None:
+    spark = _make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    _throughput_job(spark, min(n_rows, 200_000))  # JVM/codegen warmup
+    wall = _throughput_job(spark, n_rows)
+    print(f"{wall:.3f} {n_rows}")
+    spark.stop()
+
+
+def run_scaling() -> None:
+    n_rows = BENCH_TURNS
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--turns-job", str(cpus), str(n_rows)],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        wall = float(line.split()[0])
+        results[cpus] = {
+            "wall_sec": wall,
+            "turns_per_sec": n_rows / wall,
+        }
+        print(f"local[{cpus}]: {wall:.2f}s → {n_rows / wall:,.0f} turns/sec")
+
+    speedup = results[32]["turns_per_sec"] / results[8]["turns_per_sec"]
+    efficiency = speedup / 4.0
+    print(f"speedup 8→32: {speedup:.2f}x, scaling efficiency: {efficiency:.2f}")
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured throughput + scaling evidence\n\n"
+            "Job: full rule-catalog validation (single shared scan: null/"
+            "coercion/format/range/regex aggregates, per-partition reports, "
+            "violations) + (conv_id, turn_idx) uniqueness + tool RI over the "
+            f"deterministic transcripts generator, {n_rows:,} turns, "
+            "identical input at both parallelism levels (the in-sandbox "
+            "stand-in for N vs 4N executors per BASELINE.json).\n\n"
+            "| run | input rows | parallelism | wall time (s) | turns/sec | scaling efficiency |\n"
+            "|---|---|---|---|---|---|\n"
+            f"| bench-N | {n_rows:,} | local[8] | {results[8]['wall_sec']:.2f} | "
+            f"{results[8]['turns_per_sec']:,.0f} | — |\n"
+            f"| bench-4N | {n_rows:,} | local[32] | {results[32]['wall_sec']:.2f} | "
+            f"{results[32]['turns_per_sec']:,.0f} | {efficiency:.2f} (target ≥ 0.8) |\n\n"
+            f"Speedup 8→32 cores: {speedup:.2f}×; efficiency = speedup/4 = "
+            f"{efficiency:.2f}.\n"
+        )
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        run_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--turns-job":
+        run_turns_job(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        run_default()

@@ -1,0 +1,71 @@
+"""Similarity search over the embeddings table: brute-force exact top-k,
+LSH approximate top-k (recall vs exact), embedding near-dups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_cosine_basics(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(got[0] - 1.0) < 1e-9
+    assert abs(got[1]) < 1e-9
+    assert abs(got[2] - 0.7071067811865475) < 1e-9
+
+
+def test_brute_force_topk_self_is_rank1(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    out = S.brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    r1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert r1 == {0: 0, 1: 1, 2: 2}  # self-match at rank 1 (cos=1)
+
+
+def test_lsh_topk_recall_against_exact(emb):
+    dim = len(emb.first()["embedding"])
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = S.lsh_topk(emb, queries, dim=dim, k=5, n_planes=6, n_tables=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # approximate, but far above chance
+    # and every returned neighbor is scored with true cosine
+    assert all(r["cos"] <= 1.0 + 1e-9 for r in approx.collect())
+
+
+def test_embedding_near_duplicates_finds_planted_clone(spark, emb):
+    dim = len(emb.first()["embedding"])
+    clone = emb.where(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(999999).cast("long")
+    )
+    aug = emb.unionByName(clone)
+    pairs = S.embedding_near_duplicates(aug, dim=dim, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (7, 999999) in got
+
+
+def test_broadcast_in_topk_plan(emb):
+    queries = emb.limit(2)
+    plan = (
+        S.brute_force_topk(emb, queries, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

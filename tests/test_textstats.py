@@ -1,0 +1,78 @@
+"""Text-analysis functions over the documents table (token counts, quality,
+lang-id, fingerprint)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.functions import textstats as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+
+def _one(spark, text, expr_fn):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(expr_fn(F.col("t")).alias("v")).first()["v"]
+
+
+def test_token_count_ws(spark):
+    assert _one(spark, "a b  c", T.token_count_ws) == 3
+    assert _one(spark, "  ", T.token_count_ws) == 0
+    assert _one(spark, "", T.token_count_ws) == 0
+
+
+def test_token_count_bpe(spark):
+    # "hello, world42" → hello | , | world | 42  (letters/punct/digits split)
+    assert _one(spark, "hello, world42", T.token_count_bpe) == 4
+    assert _one(spark, None, T.token_count_bpe) is None
+
+
+def test_stopword_and_alpha_ratio(spark):
+    v = _one(spark, "the cat sat on the mat", T.stopword_ratio)
+    assert abs(v - 3 / 6) < 1e-9  # the, on, the
+    a = _one(spark, "ab12", T.alpha_ratio)
+    assert abs(a - 0.5) < 1e-9
+
+
+def test_mean_word_length(spark):
+    assert abs(_one(spark, "ab abcd", T.mean_word_length) - 3.0) < 1e-9
+
+
+def test_quality_score_orders_text(spark):
+    prose = (
+        "the quick brown fox jumps over the lazy dog and runs into the "
+        "quiet forest with a happy grin on its face"
+    )
+    junk = "@@@@ #### $$$$ 1234 %%%% ^^^^ &&&& **** (((( ))))"
+    good = _one(spark, prose, T.quality_score)
+    bad = _one(spark, junk, T.quality_score)
+    assert good > bad
+    assert 0.0 <= bad <= good <= 1.0
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat and the dog is here with that", T.lang_id) == "en"
+    assert _one(spark, "der Hund und die Katze ist mit", T.lang_id) == "de"
+    assert _one(spark, "le chat et la maison est avec", T.lang_id) == "fr"
+    assert _one(spark, "xyzzy qwerty", T.lang_id) == "und"
+
+
+def test_fingerprint_normalizes(spark):
+    a = _one(spark, "  Hello   World ", T.fingerprint)
+    b = _one(spark, "hello world", T.fingerprint)
+    assert a == b and len(a) == 32
+
+
+def test_text_features_single_projection(spark, docs):
+    out = T.text_features(docs, "text")
+    assert out.count() == docs.count()
+    row = out.where(F.col("doc_id") == 0).first()
+    assert row["n_tokens_ws"] > 0
+    assert row["n_chars_computed"] == row["n_chars"]  # matches generator metadata
+    # one projection → no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
