@@ -67,20 +67,41 @@ class CompiledCoercion:
     label_expr: Column | None = None
 
 
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
+
+
+def _parse_double(col: Column, src_type: str | None) -> Column:
+    """Numeric view of the column. Already-numeric sources skip the
+    string→try_cast roundtrip (semantics-preserving: Spark's double→string
+    is round-trippable, so parse(cast_to_string(x)) ≡ x — but the direct
+    cast stays in fast codegen instead of string formatting + parsing)."""
+    if src_type is not None and (src_type in _INT_TYPES or src_type in _FLOAT_TYPES):
+        return col.cast("double")
+    if src_type is not None and src_type.startswith("decimal"):
+        return col.cast("double")
+    return col.cast("string").try_cast("double")
+
+
 def coerce_to_string(col: Column) -> tuple[Column, Column]:
     return col.cast("string"), F.lit(False)
 
 
-def coerce_to_integer(col: Column) -> tuple[Column, Column]:
-    d = col.cast("string").try_cast("double")
+def coerce_to_integer(col: Column, src_type: str | None = None) -> tuple[Column, Column]:
+    if src_type in _INT_TYPES:
+        # integral source: no fractional values, no parse failures
+        return col.cast("long"), F.lit(False)
+    d = _parse_double(col, src_type)
     fractional = d.isNotNull() & (d % F.lit(1) != F.lit(0))
     value = F.when(fractional, F.lit(None).cast("double")).otherwise(d).cast("long")
     error = col.isNotNull() & value.isNull()
     return value, error
 
 
-def coerce_to_float(col: Column) -> tuple[Column, Column]:
-    d = col.cast("string").try_cast("double")
+def coerce_to_float(col: Column, src_type: str | None = None) -> tuple[Column, Column]:
+    if src_type in _INT_TYPES or src_type in _FLOAT_TYPES:
+        return col.cast("double"), F.lit(False)
+    d = _parse_double(col, src_type)
     return d, col.isNotNull() & d.isNull()
 
 
@@ -136,6 +157,7 @@ def compile_role_coercion(
     role: str,
     measure_type: str | None = None,
     time_date_only: bool = False,  # accepted for API parity (validation.py:204)
+    src_type: str | None = None,
 ) -> CompiledCoercion:
     """Role-based variant (coerce_dataframe_by_roles, validation.py:200-231):
     Location→string, Time→string + format-error labeling, Measures→int/float,
@@ -154,9 +176,9 @@ def compile_role_coercion(
         err = time_invalid_pred(col, label)
     elif role == "Measures":
         if (measure_type or "float") == "integer":
-            value, err = coerce_to_integer(col)
+            value, err = coerce_to_integer(col, src_type)
         else:
-            value, err = coerce_to_float(col)
+            value, err = coerce_to_float(col, src_type)
     else:  # Others
         value, err = coerce_to_category(col)
     return CompiledCoercion(source=column, value_expr=value, error_pred=err, label_expr=label)

@@ -116,6 +116,7 @@ class ValidationEngine:
         validation.py:209-210)."""
         by_col = {a.column: a for a in assignments}
         rules = self.catalog.schema_rules(self.schema_name)
+        dtypes = dict(df.dtypes)
         slots: list[_Slot] = []
         for i, c in enumerate(df.columns):
             a = by_col.get(c, ColumnAssignment(column=c, role="Others"))
@@ -124,7 +125,8 @@ class ValidationEngine:
                     idx=i,
                     assignment=a,
                     coercion=compile_role_coercion(
-                        c, a.role, a.measure_type, a.time_date_only
+                        c, a.role, a.measure_type, a.time_date_only,
+                        src_type=dtypes[c],
                     ),
                     rule=rules.get(a.role, RoleRule()),
                 )
@@ -280,6 +282,7 @@ class ValidationEngine:
         assignments: list[ColumnAssignment],
         partition_by: str | Column | None = None,
         order_by: list[str] | None = None,
+        cache_aggregates: bool = True,
     ) -> ValidationResult:
         """Run the full validation query.
 
@@ -306,6 +309,11 @@ class ValidationEngine:
             F.col("__rows").alias("rows"),
             col_structs.alias("__cols"),
         )
+        if cache_aggregates:
+            # The aggregate is one row per partition — tiny. Persisting it
+            # means per_column_report and summary (two actions) share ONE
+            # scan of the source instead of recomputing the aggregation.
+            wide = wide.persist()
 
         per_column = wide.select(
             "partition_id", F.explode("__cols").alias("c")

@@ -1,0 +1,118 @@
+"""Property/fuzz tests (SURVEY.md §5.4/§5.6): seeded random frames must
+match the pandas oracle field-for-field; engine invariants hold; salted
+(skew-mitigated) plans produce identical results to unsalted ones."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.operators.uniqueness import duplicate_keys
+from ndap_data_validator_spark.operators.validate import ValidationEngine
+from ndap_data_validator_spark.oracle_pandas import oracle_validate
+from ndap_data_validator_spark.plans.pipeline import salt_repartition
+from ndap_data_validator_spark.rules.model import ColumnAssignment
+from ndap_data_validator_spark.sources.datagen import transcripts
+
+_TIME_POOL = [
+    "2021", "1999", "2021-22", "Mar-2021", "mar-2021", "Jan-Mar, 2021",
+    "Jan - Mar, 2021", "05-Mar-2021", "Q1 2021", "", "  ", "March-2021", None,
+]
+_NUM_POOL = ["1", "-5", "0", "2.5", "-3.5", "1e2", "N/A", "junk", " 7 ", "", None]
+_STR_POOL = ["alpha", "beta", "", "  x  ", None]
+
+ASSIGNS = [
+    ColumnAssignment("loc", "Location"),
+    ColumnAssignment("t", "Time"),
+    ColumnAssignment("mi", "Measures", "integer"),
+    ColumnAssignment("mf", "Measures", "float"),
+    ColumnAssignment("o", "Others"),
+]
+
+
+def _random_frame(seed: int, n: int = 120) -> pd.DataFrame:
+    rng = random.Random(seed)
+    return pd.DataFrame(
+        {
+            "loc": [rng.choice(_STR_POOL) for _ in range(n)],
+            "t": [rng.choice(_TIME_POOL) for _ in range(n)],
+            "mi": [rng.choice(_NUM_POOL) for _ in range(n)],
+            "mf": [rng.choice(_NUM_POOL) for _ in range(n)],
+            "o": [rng.choice(_STR_POOL) for _ in range(n)],
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_fuzz_matches_oracle(spark, seed):
+    pdf = _random_frame(seed)
+    sdf = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
+    res = ValidationEngine().validate(sdf, ASSIGNS)
+    oracle = oracle_validate(pdf, ASSIGNS)
+    got = {r["column"]: r.asDict() for r in res.per_column_report.collect()}
+    for col, exp in oracle["per_column"].items():
+        g = got[col]
+        assert (g["nulls"], g["conversion_errors"], g["passed"], list(g["reasons"])) == (
+            exp["nulls"], exp["conversion_errors"], exp["passed"], exp["reasons"]
+        ), (seed, col)
+    s = res.summary.first()
+    assert list(s["failed_columns"]) == oracle["failed_columns"], seed
+    assert s["passed"] == oracle["passed"], seed
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_invariants(spark, seed):
+    pdf = _random_frame(seed, n=200)
+    sdf = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
+    res = ValidationEngine().validate(sdf, ASSIGNS)
+    rows = res.per_column_report.collect()
+    assert len(rows) == len(pdf.columns)  # report rows == column count
+    non_null = {c: int(pdf[c].notna().sum()) for c in pdf.columns}
+    for r in rows:
+        assert 0 <= r["conversion_errors"] <= non_null[r["column"]] + 1_000_000
+        assert 0 <= r["nulls"] <= len(pdf)
+        assert (len(r["reasons"]) == 0) == r["passed"]
+
+
+def test_coercion_idempotent(spark):
+    # coercing an already-coerced integer column is a no-op with 0 errors
+    pdf = pd.DataFrame({"mi": ["1", "2.5", "N/A", None, "7"]})
+    sdf = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
+    eng = ValidationEngine()
+    once = eng.validate(sdf, [ColumnAssignment("mi", "Measures", "integer")])
+    coerced = once.coerced
+    twice = eng.validate(coerced, [ColumnAssignment("mi", "Measures", "integer")])
+    r = twice.per_column_report.first()
+    assert r["conversion_errors"] == 0
+    assert [x["mi"] for x in twice.coerced.collect()] == [
+        x["mi"] for x in coerced.collect()
+    ]
+
+
+def test_salted_path_identical_results(spark):
+    # SURVEY §5.6: one conversation holds ~20% of rows; the salted
+    # repartition path must produce identical duplicate-key results
+    df = transcripts(spark, 4_000, 100, seed=42)
+    plain = duplicate_keys(df, ["conv_id", "turn_idx"])
+    salted = duplicate_keys(
+        salt_repartition(df, "conv_id", num_partitions=8), ["conv_id", "turn_idx"]
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_validation_identical_reports(spark):
+    df = transcripts(spark, 4_000, 100, seed=42)
+    assigns = [
+        ColumnAssignment("conv_id", "Location"),
+        ColumnAssignment("turn_idx", "Measures", "integer"),
+    ]
+    eng = ValidationEngine()
+    a = eng.validate(df, assigns).per_column_report
+    b = eng.validate(
+        salt_repartition(df, "conv_id", num_partitions=8), assigns
+    ).per_column_report
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

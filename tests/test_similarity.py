@@ -40,11 +40,14 @@ def test_lsh_topk_recall_against_exact(emb):
     dim = len(emb.first()["embedding"])
     queries = emb.where(F.col("vec_id") < 5)
     exact = S.brute_force_topk(emb, queries, k=5)
-    approx = S.lsh_topk(emb, queries, dim=dim, k=5, n_planes=6, n_tables=4)
+    # unclustered random embeddings are LSH's worst case: fewer planes →
+    # bigger buckets → higher recall (measured 0.88 at 3×8 on this data
+    # vs 0.28 at 6×4); chance would be ~k·tables·n/2^planes ≈ 0.08
+    approx = S.lsh_topk(emb, queries, dim=dim, k=5, n_planes=3, n_tables=8)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, recall  # approximate, but far above chance
+    assert recall >= 0.6, recall  # approximate, but far above chance
     # and every returned neighbor is scored with true cosine
     assert all(r["cos"] <= 1.0 + 1e-9 for r in approx.collect())
 
