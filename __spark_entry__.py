@@ -430,6 +430,29 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", lsh_signature(F.col("v"), planes).alias("bucket"))
 
 
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-family sorts/limits (SURVEY §2.7): top-k with a deterministic
+    tie-break so the result SET is stable across engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_dtype_coercion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 dtype-selection driver (coerce_dataframe_to_selected_types parity):
+    whole-frame coercion report in one agg."""
+    from ndap_data_validator_spark.operators.coerce import coerce_by_dtypes
+
+    d = _derived(spark, sf_dir).select("year_str", "int_m", "float_m")
+    _, report = coerce_by_dtypes(
+        d, {"year_str": "integer", "int_m": "integer", "float_m": "float"}
+    )
+    return report
+
+
 # ---- rows-only queries (no SQL oracle: multi-stage/driver-math/UDF paths)
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "knn_threshold": q_knn_threshold,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "topk_orders": q_topk_orders,
+        "dtype_coercion_report": q_dtype_coercion_report,
         # rows-only (no SQL oracle)
         "minhash_candidates": q_minhash_candidates,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -790,6 +815,25 @@ def oracle_sql() -> dict[str, str]:
       SELECT vec_id, CAST({_planes_sql()} AS BIGINT) AS bucket FROM embeddings
     """
 
+    topk_orders = """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """
+
+    year_err = (
+        "year_str IS NOT NULL AND (TRY_CAST(year_str AS DOUBLE) IS NULL "
+        "OR fmod(TRY_CAST(year_str AS DOUBLE), 1) != 0)"
+    )
+    dtype_coercion_report = f"""
+      WITH d AS ({DERIVED_SQL})
+      SELECT 'year_str' AS "column",
+             CAST(SUM(CASE WHEN {year_err} THEN 1 ELSE 0 END) AS BIGINT) AS conversion_errors FROM d
+      UNION ALL
+      SELECT 'int_m', CAST(SUM(CASE WHEN {int_err} THEN 1 ELSE 0 END) AS BIGINT) FROM d
+      UNION ALL
+      SELECT 'float_m', CAST(SUM(CASE WHEN {float_err} THEN 1 ELSE 0 END) AS BIGINT) FROM d
+    """
+
     return {
         "null_census": null_census,
         "coercion_report": coercion_report,
@@ -810,4 +854,6 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": token_count_bpe,
         "knn_threshold": knn_threshold,
         "ann_lsh_buckets": ann_lsh,
+        "topk_orders": topk_orders,
+        "dtype_coercion_report": dtype_coercion_report,
     }

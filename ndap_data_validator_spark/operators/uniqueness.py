@@ -24,6 +24,36 @@ def duplicate_keys(df: DataFrame, key_columns: list[str]) -> DataFrame:
     )
 
 
+def duplicate_keys_hashed(df: DataFrame, key_columns: list[str]) -> DataFrame:
+    """Scale path for duplicate_keys: two-phase with an 8-byte hash key.
+
+    Phase 1 shuffles only ``xxhash64(keys)`` + count — a fraction of the
+    bytes of the raw composite key (strings dominate transcript keys).
+    Phase 2 exact-verifies: rows whose hash is in the (tiny) suspicious set
+    are re-grouped on the REAL key, so hash collisions cannot produce false
+    duplicates — the output is exactly duplicate_keys()'s.
+
+    NULL handling matches duplicate_keys: xxhash64 folds NULLs into the
+    hash (it hashes the null marker), and phase 2 groups them exactly.
+    """
+    h = F.xxhash64(*[F.col(c) for c in key_columns])
+    suspicious = (
+        df.select(h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("__h")
+    )
+    candidates = df.join(
+        F.broadcast(suspicious), h == F.col("__h"), "left_semi"
+    )
+    return (
+        candidates.groupBy(*key_columns)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
 def duplicate_rows(
     df: DataFrame, key_columns: list[str], order_by: list[str] | None = None
 ) -> DataFrame:

@@ -67,6 +67,7 @@ GLOBAL_PARTITION = "<all>"
 
 REASON_OUT_OF_RANGE = "Value out of allowed range"
 REASON_REGEX_MISMATCH = "Value does not match required pattern"
+REASON_NOT_IN_DOMAIN = "Value not in allowed domain"
 
 
 @dataclass
@@ -157,6 +158,14 @@ class ValidationEngine:
         s = F.col(slot.col).cast("string")
         return s.isNotNull() & ~s.rlike(a.regex)
 
+    @staticmethod
+    def _domain_pred(slot: _Slot) -> Column | None:
+        a = slot.assignment
+        if a.allowed_values is None:
+            return None
+        s = F.col(slot.col).cast("string")
+        return s.isNotNull() & ~s.isin(list(a.allowed_values))
+
     def _agg_exprs(self, slots: list[_Slot]) -> list[Column]:
         """Every aggregate for the single shared scan, aliased by slot."""
         exprs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
@@ -178,6 +187,9 @@ class ValidationEngine:
             xp = self._regex_pred(s)
             if xp is not None:
                 exprs.append(F.sum(xp.cast("long")).alias(s.a("regex")))
+            dp = self._domain_pred(s)
+            if dp is not None:
+                exprs.append(F.sum(dp.cast("long")).alias(s.a("domain")))
         return exprs
 
     # ----------------------------------------------------- report expressions
@@ -245,6 +257,10 @@ class ValidationEngine:
             cond = self._zero_if_null(F.col(s.a("regex"))) > 0
             fail_conds.append(cond)
             reasons_raw.append(F.when(cond, F.lit(REASON_REGEX_MISMATCH)))
+        if self._domain_pred(s) is not None:
+            cond = self._zero_if_null(F.col(s.a("domain"))) > 0
+            fail_conds.append(cond)
+            reasons_raw.append(F.when(cond, F.lit(REASON_NOT_IN_DOMAIN)))
 
         failed = F.lit(False)
         for c in fail_conds:
@@ -382,6 +398,9 @@ class ValidationEngine:
             xp = self._regex_pred(s)
             if xp is not None:
                 checks.append((xp, REASON_REGEX_MISMATCH))
+            dp = self._domain_pred(s)
+            if dp is not None:
+                checks.append((dp, REASON_NOT_IN_DOMAIN))
             for pred, reason in checks:
                 entries.append(
                     F.when(
@@ -414,5 +433,10 @@ class ValidationEngine:
             )
             .select("partition_id", *order_cols, "v.column", "v.reason", "v.value")
         )
+        # sortWithinPartitions after repartitioning on partition_id: rows for
+        # one report partition are contiguous AND internally ordered by the
+        # stable (conv_id, turn_idx) key — byte-comparable output — without
+        # the global range-partitioning sort a plain orderBy would add
+        # (sampling pass + skewed ranges at 10^12 rows).
         sort_cols = ["partition_id", *order_cols, "column", "reason"]
-        return out.orderBy(*sort_cols)
+        return out.repartition(F.col("partition_id")).sortWithinPartitions(*sort_cols)

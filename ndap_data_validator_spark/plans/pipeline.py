@@ -59,6 +59,7 @@ def run_validation(
     run_id: str | None = None,
     order_by: list[str] | None = None,
     report_path: str | None = None,
+    publish_path: str | None = None,
     catalog: RuleCatalog | None = None,
     schema_name: str | None = None,
 ) -> RunOutcome:
@@ -101,6 +102,21 @@ def run_validation(
         for r in summaries
     }
     store.mark_done_bulk(run_id, digest, metrics)
+
+    if publish_path is not None:
+        # "validation gates publishing; the published object is the ORIGINAL
+        # bytes, not the coerced frame" (main.py:1206-1249, 1396, 1414-1415):
+        # passed partitions' source rows are appended unmodified, keyed by
+        # partition_id (dynamic overwrite → idempotent on resume).
+        passed_parts = sorted(p for p, m in metrics.items() if m["passed"])
+        if passed_parts:
+            (
+                remaining.withColumn("partition_id", key)
+                .where(F.col("partition_id").isin(passed_parts))
+                .write.mode("overwrite")
+                .partitionBy("partition_id")
+                .parquet(publish_path)
+            )
 
     # passed_all folds over every partition recorded for this run — the
     # resumed half plus previously-done ones (main.py:926-936 semantics).

@@ -75,6 +75,11 @@ class ColumnAssignment:
     max_value: float | None = None
     regex: str | None = None
     time_date_only: bool = False
+    # small-domain rule: non-null values must be in this set. This is the
+    # broadcast form of referential integrity — the allowed set rides into
+    # the shared scan as an isin literal (no join, no extra pass). For big
+    # dimensions use operators/referential.py instead.
+    allowed_values: tuple[str, ...] | None = None
 
     def __post_init__(self) -> None:
         if self.role not in ROLE_OPTIONS:
@@ -183,6 +188,7 @@ def assignment_digest(
                 "max": a.max_value,
                 "regex": a.regex,
                 "date_only": a.time_date_only,
+                "allowed": list(a.allowed_values) if a.allowed_values else None,
             }
             for a in sorted(assignments, key=lambda a: a.column)
         ],

@@ -43,6 +43,7 @@ def transcripts(
     inject_violations: bool = True,
     turn_shift: int = 0,
     shift_fraction: float = 0.0,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Generate the transcripts table.
 
@@ -57,7 +58,13 @@ def transcripts(
     remapped onto their predecessor turn to create uniqueness violations.
     """
     m = max(n_convs - 1, 1)
-    df = spark.range(n_rows)  # id: 0..n-1
+    # explicit numPartitions → generated-table layout is independent of the
+    # generating session's core count (no shuffle needed to spread it)
+    df = (
+        spark.range(0, n_rows, numPartitions=num_partitions)
+        if num_partitions
+        else spark.range(n_rows)
+    )  # id: 0..n-1
     rid = F.col("id")
 
     is_skew = rid % 5 == 0
