@@ -106,8 +106,15 @@ def _make_spark(cpus: int | None):
         app_name="ndap-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(2 * cpus, 16),
-        # small local files: split fine so every core gets scan work
-        extra_conf={"spark.sql.files.maxPartitionBytes": "8m"},
+        # small local files: split fine so every core gets scan work.
+        # Heap scales with thread count: a real N→4N cluster keeps
+        # memory-per-core constant (each executor is the same size), so the
+        # local-mode emulation must too — a fixed heap quarters each task's
+        # execution memory at 4× threads and forces extra shuffle spill.
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.driver.memory": f"{2 * cpus}g",
+        },
     )
 
 
