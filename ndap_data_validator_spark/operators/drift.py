@@ -115,6 +115,45 @@ def compare(
     return results
 
 
+def ks_exact(
+    baseline_df: DataFrame,
+    current_df: DataFrame,
+    column: str,
+) -> float:
+    """Exact two-sample KS statistic over RAW values via one Arrow-batched
+    ``applyInPandas`` — the optional exact path of SURVEY §7.6 when bin
+    resolution isn't enough. Both samples are tagged, co-grouped into a
+    single group, and the statistic computed vectorized in pandas.
+
+    Scale note: this pulls both columns of ONE grouping into a single task —
+    use for per-partition drift or sampled data; the binned ``drift_check``
+    is the full-table path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = baseline_df.select(F.col(column).cast("double").alias("v")).where(
+        F.col(column).isNotNull()
+    ).withColumn("side", F.lit(0))
+    b = current_df.select(F.col(column).cast("double").alias("v")).where(
+        F.col(column).isNotNull()
+    ).withColumn("side", F.lit(1))
+    both = a.unionByName(b).withColumn("g", F.lit(1))
+
+    def ks(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(pdf.loc[pdf["side"] == 0, "v"].to_numpy())
+        y = np.sort(pdf.loc[pdf["side"] == 1, "v"].to_numpy())
+        if len(x) == 0 or len(y) == 0:
+            return pd.DataFrame({"ks": [0.0]})
+        grid = np.concatenate([x, y])
+        cdf_x = np.searchsorted(x, grid, side="right") / len(x)
+        cdf_y = np.searchsorted(y, grid, side="right") / len(y)
+        return pd.DataFrame({"ks": [float(np.max(np.abs(cdf_x - cdf_y)))]})
+
+    out = both.groupBy("g").applyInPandas(ks, schema="ks double").first()
+    return float(out["ks"])
+
+
 def drift_check(
     current_df: DataFrame,
     baseline_snapshot: dict[str, dict],

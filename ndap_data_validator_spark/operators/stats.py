@@ -58,11 +58,15 @@ def column_stats(
             aggs += [
                 F.avg(col).alias(f"s{i}__mean"),
                 F.stddev_samp(col).alias(f"s{i}__stddev"),
+                F.percentile_approx(
+                    col.cast("double"), [0.5, 0.95], 10_000
+                ).alias(f"s{i}__quantiles"),
             ]
         else:
             aggs += [
                 F.lit(None).cast("double").alias(f"s{i}__mean"),
                 F.lit(None).cast("double").alias(f"s{i}__stddev"),
+                F.lit(None).cast("array<double>").alias(f"s{i}__quantiles"),
             ]
         if with_hll:
             aggs.append(
@@ -84,6 +88,8 @@ def column_stats(
                 F.col(f"s{i}__max").alias("max"),
                 F.col(f"s{i}__mean").alias("mean"),
                 F.col(f"s{i}__stddev").alias("stddev"),
+                F.element_at(F.col(f"s{i}__quantiles"), 1).alias("p50"),
+                F.element_at(F.col(f"s{i}__quantiles"), 2).alias("p95"),
                 F.col(f"s{i}__approx_distinct").alias("approx_distinct"),
                 F.col(f"s{i}__hll").alias("hll_sketch"),
             )
@@ -101,6 +107,8 @@ def column_stats(
             "s.max",
             "s.mean",
             "s.stddev",
+            "s.p50",
+            "s.p95",
             "s.approx_distinct",
             "s.hll_sketch",
         )

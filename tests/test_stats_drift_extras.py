@@ -1,0 +1,61 @@
+"""Quantiles in the stats block; exact-KS applyInPandas variant; bucketed
+co-located join (shuffle-free sort-merge) — the scale craft checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.operators import drift
+from ndap_data_validator_spark.operators.stats import column_stats
+from ndap_data_validator_spark.sources.datagen import transcripts
+
+
+def test_stats_quantiles(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    row = column_stats(df, ["x"]).first()
+    assert abs(row["p50"] - 50.0) <= 1.0
+    assert abs(row["p95"] - 95.0) <= 1.0
+    srow = column_stats(
+        spark.createDataFrame([("a",)], "s string"), ["s"]
+    ).first()
+    assert srow["p50"] is None
+
+
+def test_ks_exact_agrees_with_binned_direction(spark):
+    base = transcripts(spark, 4_000, 100, seed=41, inject_violations=False)
+    same = transcripts(spark, 4_000, 100, seed=42, inject_violations=False)
+    shifted = transcripts(
+        spark, 4_000, 100, seed=42, inject_violations=False,
+        turn_shift=300, shift_fraction=0.3,
+    )
+    ks_same = drift.ks_exact(base, same, "turn_idx")
+    ks_shift = drift.ks_exact(base, shifted, "turn_idx")
+    assert 0.0 <= ks_same < 0.05
+    assert ks_shift > ks_same + 0.05
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    # co-located join craft: two tables bucketed on the join key sort-merge
+    # join WITHOUT an Exchange on either side (warehouse dir is set once in
+    # the session fixture — it's a static conf)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = transcripts(spark, 10_000, 100, seed=42).where(F.col("conv_id").isNotNull())
+        (
+            df.write.bucketBy(8, "conv_id").sortBy("conv_id")
+            .mode("overwrite").saveAsTable("t_a")
+        )
+        (
+            df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+            .write.bucketBy(8, "conv_id").sortBy("conv_id")
+            .mode("overwrite").saveAsTable("t_b")
+        )
+        joined = spark.table("t_a").join(spark.table("t_b"), "conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing co-locates both sides
+        assert joined.count() == df.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        spark.sql("DROP TABLE IF EXISTS t_a")
+        spark.sql("DROP TABLE IF EXISTS t_b")
