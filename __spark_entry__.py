@@ -453,7 +453,53 @@ def q_dtype_coercion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: chained key joins (lineage report shape, utils/db.py:548-551) —
+    orders→customer→nation rollup; small dims broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family extension (SURVEY §2.8 note): exceptAll for violation
+    diffing — event types present in the first half of the data but
+    missing (per occurrence) from the second half."""
+    e = _t(spark, sf_dir, "events")
+    half = e.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    a = e.where(F.col("event_id") <= half).select("event_type", (F.col("user_id") % 5).alias("bucket"))
+    b = e.where(F.col("event_id") > half).select("event_type", (F.col("user_id") % 5).alias("bucket"))
+    return a.exceptAll(b).groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("excess")
+    )
+
+
 # ---- rows-only queries (no SQL oracle: multi-stage/driver-math/UDF paths)
+
+
+def q_drift_exact_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS via Arrow applyInPandas (rows-only: driver math +
+    UDF path)."""
+    from ndap_data_validator_spark.operators.drift import ks_exact
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.year("o_orderdate") <= 1997)
+    cur = o.where(F.year("o_orderdate") > 1997)
+    ks = ks_exact(base, cur, "o_totalprice")
+    return spark.createDataFrame(
+        [("o_totalprice", round(ks, 6))], "column string, ks_exact double"
+    )
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline on documents + a planted clone."""
@@ -528,7 +574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "topk_orders": q_topk_orders,
         "dtype_coercion_report": q_dtype_coercion_report,
+        "three_way_join": q_three_way_join,
+        "except_diff": q_except_diff,
         # rows-only (no SQL oracle)
+        "drift_exact_ks": q_drift_exact_ks,
         "minhash_candidates": q_minhash_candidates,
         "simhash_fingerprints": q_simhash_fingerprints,
         "hll_distinct": q_hll_distinct,
@@ -856,4 +905,21 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": ann_lsh,
         "topk_orders": topk_orders,
         "dtype_coercion_report": dtype_coercion_report,
+        "three_way_join": """
+          SELECT n.n_name AS n_name,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          FROM orders o
+          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        """,
+        "except_diff": """
+          WITH h AS (SELECT quantile_cont(event_id, 0.5) AS m FROM events),
+          a AS (SELECT event_type, user_id % 5 AS bucket FROM events, h WHERE event_id <= h.m),
+          b AS (SELECT event_type, user_id % 5 AS bucket FROM events, h WHERE event_id > h.m)
+          SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS excess
+          FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+          GROUP BY event_type, bucket
+        """,
     }
