@@ -238,10 +238,14 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.5,
+    broadcast_tokens: bool = True,
 ) -> DataFrame:
     """Exact all-pairs Jaccard over word n-gram sets via token self-join —
     (id_a, id_b, jaccard). Quadratic in bucket sizes: use on small corpora or
-    LSH candidates; at 100 TB this is the VERIFY stage, not the scan stage."""
+    LSH candidates; at 100 TB this is the VERIFY stage, not the scan stage.
+    ``broadcast_tokens`` (default True, matching the verify-stage shape where
+    the candidate slice is small) hash-joins against a broadcast token list
+    instead of a sort-merge self-join."""
     sets_ = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s")
     ).withColumn("sz", F.size("s"))
@@ -252,6 +256,8 @@ def ngram_jaccard_pairs(
     b = toks.select(
         F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok"
     )
+    if broadcast_tokens:
+        b = F.broadcast(b)
     inter = (
         a.join(b, "tok")
         .where(F.col("id_a") < F.col("id_b"))
