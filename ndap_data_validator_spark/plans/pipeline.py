@@ -92,12 +92,24 @@ def run_validation(
         )
 
     summaries = result.summary.collect()  # one row per partition — tiny
+    # per-partition per-column stats accumulators ride in the checkpoint
+    # metrics (north_star: "per-partition lineage, rule digests, and stats
+    # accumulators") — both frames are partition-count-sized, not data-sized.
+    per_col = result.per_column_report.collect()
+    col_stats: dict[str, dict[str, dict]] = {}
+    for r in per_col:
+        col_stats.setdefault(r["partition_id"], {})[r["column"]] = {
+            "nulls": r["nulls"],
+            "conversion_errors": r["conversion_errors"],
+            "passed": r["passed"],
+        }
     metrics = {
         r["partition_id"]: {
             "rows": r["rows"],
             "failed_count": r["failed_count"],
             "failed_columns": list(r["failed_columns"]),
             "passed": r["passed"],
+            "columns": col_stats.get(r["partition_id"], {}),
         }
         for r in summaries
     }

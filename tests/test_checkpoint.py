@@ -116,4 +116,7 @@ def test_metrics_json_recorded(spark, tdf, tmp_path):
     rows = store.run_log(out.run_id).collect()
     assert len(rows) == len(out.processed_partitions)
     m = json.loads(rows[0]["metrics_json"])
-    assert {"rows", "failed_count", "failed_columns", "passed"} <= set(m)
+    assert {"rows", "failed_count", "failed_columns", "passed", "columns"} <= set(m)
+    # per-column stats accumulators present for every assigned column
+    a_col = m["columns"]["conv_id"]
+    assert {"nulls", "conversion_errors", "passed"} <= set(a_col)

@@ -63,6 +63,19 @@ def test_embedding_near_duplicates_finds_planted_clone(spark, emb):
     assert (7, 999999) in got
 
 
+def test_ivf_topk_recall(emb):
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["vec_id"]) for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    # full probe ≡ brute force: recall must be 1.0
+    full = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8)
+    f = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert f == exact
+    # partial probe: approximate but far above chance
+    approx = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(exact & a) / len(exact) >= 0.4
+
+
 def test_broadcast_in_topk_plan(emb):
     queries = emb.limit(2)
     plan = (
