@@ -542,6 +542,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, fake=True)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: centroid-bucketed top-k (rows-only: iterative k-means-lite
+    isn't single-statement SQL)."""
+    from ndap_data_validator_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=4
+    )
+
+
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force top-k (rank ties FP-sensitive across engines →
     rows-only check; the threshold variant above is oracle-checked)."""
@@ -583,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "media_features": q_media_features,
         "knn_topk": q_knn_topk,
+        "ann_ivf": q_ann_ivf,
     }
 
 
