@@ -453,6 +453,87 @@ def q_dtype_coercion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+# Separate derived frame for boolean/datetime coercion (kept out of the main
+# derived transcripts so the validation_report oracle is unchanged): the SAME
+# integer-keyed CASE logic in both dialects.
+_SPARK_BOOL_TS_EXPRS = [
+    """CASE CAST(event_id % 9 AS INT)
+         WHEN 0 THEN 'true'
+         WHEN 1 THEN 'T'
+         WHEN 2 THEN ' yes '
+         WHEN 3 THEN 'Y'
+         WHEN 4 THEN '0'
+         WHEN 5 THEN 'No'
+         WHEN 6 THEN '2'
+         WHEN 7 THEN ''
+         ELSE NULL END AS bool_m""",
+    """CASE CAST(event_id % 7 AS INT)
+         WHEN 0 THEN date_format(ts, 'yyyy-MM-dd HH:mm:ss')
+         WHEN 1 THEN date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+         WHEN 2 THEN date_format(ts, 'yyyy-MM-dd')
+         WHEN 3 THEN date_format(ts, 'yyyy/MM/dd')
+         WHEN 4 THEN date_format(ts, 'dd-MM-yyyy')
+         WHEN 5 THEN 'not-a-date'
+         ELSE NULL END AS ts_str""",
+]
+
+BOOL_TS_SQL = """
+  SELECT
+    CASE CAST(event_id % 9 AS INT)
+      WHEN 0 THEN 'true'
+      WHEN 1 THEN 'T'
+      WHEN 2 THEN ' yes '
+      WHEN 3 THEN 'Y'
+      WHEN 4 THEN '0'
+      WHEN 5 THEN 'No'
+      WHEN 6 THEN '2'
+      WHEN 7 THEN ''
+      ELSE NULL END AS bool_m,
+    CASE CAST(event_id % 7 AS INT)
+      WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+      WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+      WHEN 2 THEN strftime(ts, '%Y-%m-%d')
+      WHEN 3 THEN strftime(ts, '%Y/%m/%d')
+      WHEN 4 THEN strftime(ts, '%d-%m-%Y')
+      WHEN 5 THEN 'not-a-date'
+      ELSE NULL END AS ts_str
+  FROM events
+"""
+
+
+def q_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/P8: boolean token coercion census (reference token sets,
+    utils/validation.py:60-76) — true/false/null/error counts in one agg."""
+    from ndap_data_validator_spark.functions.coercion import coerce_to_boolean
+
+    d = _t(spark, sf_dir, "events").selectExpr(*_SPARK_BOOL_TS_EXPRS)
+    value, err = coerce_to_boolean(F.col("bool_m"))
+    return d.agg(
+        F.lit("bool_m").alias("column"),
+        F.sum((value == True).cast("long")).alias("n_true"),  # noqa: E712
+        F.sum((value == False).cast("long")).alias("n_false"),  # noqa: E712
+        F.sum(value.isNull().cast("long")).alias("nulls"),
+        F.sum(err.cast("long")).alias("conversion_errors"),
+    )
+
+
+def q_datetime_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: datetime coercion over the pinned ISO-variant grammar
+    (utils/validation.py:79-85 re-expressed as try_to_timestamp fallbacks) —
+    parsed/error counts + min/max of the coerced values."""
+    from ndap_data_validator_spark.functions.coercion import coerce_to_datetime
+
+    d = _t(spark, sf_dir, "events").selectExpr(*_SPARK_BOOL_TS_EXPRS)
+    value, err = coerce_to_datetime(F.col("ts_str"))
+    return d.agg(
+        F.lit("ts_str").alias("column"),
+        F.sum(value.isNotNull().cast("long")).alias("n_parsed"),
+        F.sum(err.cast("long")).alias("conversion_errors"),
+        F.date_format(F.min(value), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max(value), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
+
+
 def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: chained key joins (lineage report shape, utils/db.py:548-551) —
     orders→customer→nation rollup; small dims broadcast."""
@@ -529,7 +610,10 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads through the Arrow-batched
-    mapInPandas feature extractor (deterministic stub kernel)."""
+    mapInPandas feature extractor (deterministic stub kernel).
+
+    The array<float> feature vector is projected to a rounded CSV string so
+    the harness canonicalizer (pandas sort/hash) gets hashable scalars."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     media = d.select(
         F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_id"),
@@ -539,7 +623,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kind"),
         F.sha2(F.col("text"), 256).cast("binary").alias("content"),
     )
-    return multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.format_number(x.cast("double"), 6),
+            ),
+        ).alias("features_csv"),
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_census": q_null_census,
         "coercion_report": q_coercion_report,
+        "bool_coercion": q_bool_coercion,
+        "datetime_coercion": q_datetime_coercion,
         "time_format_census": q_time_format_census,
         "validation_report": q_validation_report,
         "partition_summary": q_partition_summary,
@@ -619,11 +717,17 @@ def oracle_sql() -> dict[str, str]:
         for c in ev_cols
     )
 
+    # isnan terms mirror the engine's NaN→null normalization (pandas isna
+    # parity): a string parsing to NaN counts as error + null on both sides.
     int_err = (
         "int_m IS NOT NULL AND (TRY_CAST(int_m AS DOUBLE) IS NULL "
+        "OR isnan(TRY_CAST(int_m AS DOUBLE)) "
         "OR fmod(TRY_CAST(int_m AS DOUBLE), 1) != 0)"
     )
-    float_err = "float_m IS NOT NULL AND TRY_CAST(float_m AS DOUBLE) IS NULL"
+    float_err = (
+        "float_m IS NOT NULL AND (TRY_CAST(float_m AS DOUBLE) IS NULL "
+        "OR isnan(TRY_CAST(float_m AS DOUBLE)))"
+    )
 
     coercion_report = f"""
       WITH d AS ({DERIVED_SQL})
@@ -883,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
 
     year_err = (
         "year_str IS NOT NULL AND (TRY_CAST(year_str AS DOUBLE) IS NULL "
+        "OR isnan(TRY_CAST(year_str AS DOUBLE)) "
         "OR fmod(TRY_CAST(year_str AS DOUBLE), 1) != 0)"
     )
     dtype_coercion_report = f"""
@@ -895,9 +1000,47 @@ def oracle_sql() -> dict[str, str]:
       SELECT 'float_m', CAST(SUM(CASE WHEN {float_err} THEN 1 ELSE 0 END) AS BIGINT) FROM d
     """
 
+    bool_coercion = f"""
+      WITH d AS ({BOOL_TS_SQL}),
+      v AS (SELECT bool_m,
+              CASE WHEN lower(trim(bool_m)) IN ('true','t','yes','y','1') THEN TRUE
+                   WHEN lower(trim(bool_m)) IN ('false','f','no','n','0') THEN FALSE
+                   ELSE NULL END AS b
+            FROM d)
+      SELECT 'bool_m' AS "column",
+        CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        CAST(SUM(CASE WHEN b = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+        CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        CAST(SUM(CASE WHEN bool_m IS NOT NULL AND b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS conversion_errors
+      FROM v
+    """
+
+    # The engine's pinned grammar (functions/coercion.py _TS_FORMATS) as
+    # try_strptime fallbacks — same accepted forms, same first-match wins.
+    _ts_parse = (
+        "COALESCE("
+        "try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S'), "
+        "try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'), "
+        "try_strptime(ts_str, '%Y-%m-%d'), "
+        "try_strptime(ts_str, '%Y/%m/%d'), "
+        "try_strptime(ts_str, '%d-%m-%Y'))"
+    )
+    datetime_coercion = f"""
+      WITH d AS ({BOOL_TS_SQL}),
+      v AS (SELECT ts_str, {_ts_parse} AS t FROM d)
+      SELECT 'ts_str' AS "column",
+        CAST(SUM(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+        CAST(SUM(CASE WHEN ts_str IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS conversion_errors,
+        strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        strftime(MAX(t), '%Y-%m-%d %H:%M:%S') AS max_ts
+      FROM v
+    """
+
     return {
         "null_census": null_census,
         "coercion_report": coercion_report,
+        "bool_coercion": bool_coercion,
+        "datetime_coercion": datetime_coercion,
         "time_format_census": time_format_census,
         "validation_report": validation_report,
         "partition_summary": partition_summary,

@@ -71,16 +71,39 @@ _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 _FLOAT_TYPES = {"float", "double"}
 
 
+def _nan_to_null(d: Column) -> Column:
+    """Normalize double NaN → NULL. pandas ``isna()`` treats NaN as missing
+    (so the reference's null/error counts fold NaN into nulls); Spark treats
+    NaN as an ordinary non-null double — without this, a float-typed source
+    containing NaN would diverge from the reference (ADVICE r01)."""
+    return F.when(F.isnan(d), F.lit(None).cast("double")).otherwise(d)
+
+
+def _src_null(col: Column, src_type: str | None) -> Column:
+    """'Missing in the pandas sense': NULL, or NaN for float-typed sources.
+    Used by error predicates so a source NaN counts as a pre-existing null
+    (never a conversion error), matching ``max(after - before, 0)``."""
+    if src_type is not None and src_type in _FLOAT_TYPES:
+        return col.isNull() | F.isnan(col)
+    return col.isNull()
+
+
 def _parse_double(col: Column, src_type: str | None) -> Column:
-    """Numeric view of the column. Already-numeric sources skip the
-    string→try_cast roundtrip (semantics-preserving: Spark's double→string
-    is round-trippable, so parse(cast_to_string(x)) ≡ x — but the direct
-    cast stays in fast codegen instead of string formatting + parsing)."""
-    if src_type is not None and (src_type in _INT_TYPES or src_type in _FLOAT_TYPES):
+    """Numeric view of the column, NaN-normalized to NULL. Already-numeric
+    sources skip the string→try_cast roundtrip (semantics-preserving:
+    Spark's double→string is round-trippable, so parse(cast_to_string(x))
+    ≡ x — but the direct cast stays in fast codegen instead of string
+    formatting + parsing)."""
+    if src_type is not None and src_type in _INT_TYPES:
         return col.cast("double")
+    if src_type is not None and src_type in _FLOAT_TYPES:
+        return _nan_to_null(col.cast("double"))
     if src_type is not None and src_type.startswith("decimal"):
         return col.cast("double")
-    return col.cast("string").try_cast("double")
+    # string path: try_cast('NaN') yields NaN in Spark; pandas to_numeric
+    # yields NaN too and then counts it as BOTH a conversion error and a
+    # null — normalizing to NULL here makes the error predicate fire.
+    return _nan_to_null(col.cast("string").try_cast("double"))
 
 
 def coerce_to_string(col: Column) -> tuple[Column, Column]:
@@ -94,15 +117,18 @@ def coerce_to_integer(col: Column, src_type: str | None = None) -> tuple[Column,
     d = _parse_double(col, src_type)
     fractional = d.isNotNull() & (d % F.lit(1) != F.lit(0))
     value = F.when(fractional, F.lit(None).cast("double")).otherwise(d).cast("long")
-    error = col.isNotNull() & value.isNull()
+    error = ~_src_null(col, src_type) & value.isNull()
     return value, error
 
 
 def coerce_to_float(col: Column, src_type: str | None = None) -> tuple[Column, Column]:
-    if src_type in _INT_TYPES or src_type in _FLOAT_TYPES:
+    if src_type in _INT_TYPES:
         return col.cast("double"), F.lit(False)
+    if src_type in _FLOAT_TYPES:
+        # NaN folds into nulls (pandas isna parity); never an error.
+        return _nan_to_null(col.cast("double")), F.lit(False)
     d = _parse_double(col, src_type)
-    return d, col.isNotNull() & d.isNull()
+    return d, ~_src_null(col, src_type) & d.isNull()
 
 
 def coerce_to_boolean(col: Column) -> tuple[Column, Column]:

@@ -17,22 +17,43 @@ from ndap_data_validator_spark.functions.coercion import (
     compile_dtype_coercion,
     compile_role_coercion,
 )
+from ndap_data_validator_spark.functions.timeformat import TIME_LABELS
 
 
 def _report(df: DataFrame, compiled) -> DataFrame:
-    agg = df.agg(
-        *[F.sum(c.error_pred.cast("long")).alias(f"e{i}") for i, c in enumerate(compiled)]
-    )
-    structs = F.array(
-        *[
+    """One shared-scan aggregate → (column, conversion_errors). For Time
+    columns the count is invalid + (valid_total − majority-format count),
+    exactly the reference's coerce_dataframe_by_roles which folds
+    _count_time_format_errors into the coercion report
+    (validation.py:214-217) — the closed 6-label domain lets both terms come
+    from the SAME aggregate row (greatest over 6 count_ifs, no second pass)."""
+    aggs = []
+    for i, c in enumerate(compiled):
+        aggs.append(F.sum(c.error_pred.cast("long")).alias(f"e{i}"))
+        if c.label_expr is not None:
+            for j, lbl in enumerate(TIME_LABELS):
+                aggs.append(
+                    F.sum((c.label_expr == F.lit(lbl)).cast("long")).alias(f"l{i}_{j}")
+                )
+    agg = df.agg(*aggs)
+    entries = []
+    for i, c in enumerate(compiled):
+        errs = F.coalesce(F.col(f"e{i}"), F.lit(0))
+        if c.label_expr is not None:
+            counts = [
+                F.coalesce(F.col(f"l{i}_{j}"), F.lit(0))
+                for j in range(len(TIME_LABELS))
+            ]
+            valid_total = counts[0]
+            for lc in counts[1:]:
+                valid_total = valid_total + lc
+            errs = errs + (valid_total - F.greatest(*counts))
+        entries.append(
             F.struct(
-                F.lit(c.source).alias("column"),
-                F.coalesce(F.col(f"e{i}"), F.lit(0)).alias("conversion_errors"),
+                F.lit(c.source).alias("column"), errs.alias("conversion_errors")
             )
-            for i, c in enumerate(compiled)
-        ]
-    )
-    return agg.select(F.explode(structs).alias("s")).select(
+        )
+    return agg.select(F.explode(F.array(*entries)).alias("s")).select(
         "s.column", "s.conversion_errors"
     )
 
@@ -56,11 +77,12 @@ def coerce_by_roles(
     measure_type_selection: dict[str, str] | None = None,
     time_date_only: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """NOTE: the Time role's conversion_errors here counts per-row invalid
-    formats; the aggregate-level majority-format extras are added by
-    ValidationEngine (which owns the label counts). Matches the reference's
-    split where _count_time_format_errors runs inside the coercion driver
-    only because pandas can afford a second pass (validation.py:214-217)."""
+    """Role-based whole-frame coercion. Time conversion_errors include the
+    majority-format extras (invalid + valid_total − majority), matching the
+    reference's coerce_dataframe_by_roles which calls
+    _count_time_format_errors inside the coercion driver
+    (validation.py:214-217) — so this standalone API surface agrees with
+    both the reference and ValidationEngine's report."""
     mts = measure_type_selection or {}
     dtypes = dict(df.dtypes)
     compiled = [

@@ -35,6 +35,11 @@ def duplicate_keys_hashed(df: DataFrame, key_columns: list[str]) -> DataFrame:
 
     NULL handling matches duplicate_keys: xxhash64 folds NULLs into the
     hash (it hashes the null marker), and phase 2 groups them exactly.
+
+    The suspicious set is NOT force-broadcast: it is tiny only when
+    duplicates are rare, and on duplicate-heavy data it is O(distinct
+    duplicated keys) — AQE picks broadcast vs shuffle from the actual
+    runtime size, so the plan degrades gracefully instead of OOMing.
     """
     h = F.xxhash64(*[F.col(c) for c in key_columns])
     suspicious = (
@@ -44,9 +49,7 @@ def duplicate_keys_hashed(df: DataFrame, key_columns: list[str]) -> DataFrame:
         .where(F.col("__c") > 1)
         .select("__h")
     )
-    candidates = df.join(
-        F.broadcast(suspicious), h == F.col("__h"), "left_semi"
-    )
+    candidates = df.join(suspicious, h == F.col("__h"), "left_semi")
     return (
         candidates.groupBy(*key_columns)
         .agg(F.count(F.lit(1)).alias("dup_count"))

@@ -38,10 +38,18 @@ class CheckpointStore:
         self.path = path
 
     def _read(self) -> DataFrame:
+        """Empty frame ONLY when the store doesn't exist yet; any other read
+        failure (corrupt files, permissions, wrong schema) must raise —
+        treating a broken store as 'no checkpoints' would silently restart
+        a run (or re-validate everything) instead of surfacing the fault."""
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
-        except Exception:
-            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+            raise
 
     def completed_partitions(self, run_id: str, rule_digest: str) -> set[str]:
         """Partitions already 'done' for this run UNDER THE SAME rule digest

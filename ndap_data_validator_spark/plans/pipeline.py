@@ -78,15 +78,20 @@ def run_validation(
     )
 
     if report_path is not None:
-        # dynamic partition overwrite → re-validating a partition replaces
-        # its rows; a re-run after crash is idempotent.
+        # Dynamic partition overwrite → re-validating a partition replaces
+        # its rows; a re-run after crash is idempotent. The mode is pinned on
+        # the WRITER (not session config) so the contract holds even with a
+        # caller-supplied vanilla SparkSession — static overwrite would wipe
+        # already-done partitions' reports on resume.
         (
             result.per_column_report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("partition_id")
             .parquet(f"{report_path}/per_column")
         )
         (
             result.violations.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("partition_id")
             .parquet(f"{report_path}/violations")
         )
@@ -126,6 +131,7 @@ def run_validation(
                 remaining.withColumn("partition_id", key)
                 .where(F.col("partition_id").isin(passed_parts))
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("partition_id")
                 .parquet(publish_path)
             )
@@ -150,12 +156,22 @@ def run_validation(
 
 
 def salt_repartition(
-    df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 8
+    df: DataFrame,
+    key: str,
+    num_partitions: int,
+    salt_buckets: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew mitigation for heavy groupBy keys (SURVEY.md §4.1):
     spread one hot key (e.g. the skewed conv_id) over ``salt_buckets``
     shuffle partitions. Aggregations over (key, salt) then re-aggregate by
     key — callers compose this; for the validation aggregates AQE's
-    skew handling usually suffices, so this is opt-in."""
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    skew handling usually suffices, so this is opt-in.
+
+    The salt is derived from STABLE row content (``salt_cols``, defaulting to
+    every column), never from ``monotonically_increasing_id`` — a task retry
+    recomputes the same salt for the same row, so a failed stage cannot
+    re-partition rows differently mid-job."""
+    cols = salt_cols if salt_cols is not None else list(df.columns)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets))
     return df.repartition(num_partitions, F.col(key), salt)

@@ -52,8 +52,12 @@ def validate_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # cache_aggregates=False: each batch's report is written exactly once
+        # per sink, and a long-running stream must not accumulate one persisted
+        # aggregate frame per micro-batch.
         res = eng.validate(
-            batch_df, assignments, partition_by=partition_by
+            batch_df, assignments, partition_by=partition_by,
+            cache_aggregates=False,
         )
         (
             res.per_column_report.withColumn("batch_id", F.lit(batch_id))

@@ -120,3 +120,22 @@ def test_metrics_json_recorded(spark, tdf, tmp_path):
     # per-column stats accumulators present for every assigned column
     a_col = m["columns"]["conv_id"]
     assert {"nulls", "conversion_errors", "passed"} <= set(a_col)
+
+
+def test_corrupt_store_raises(spark, tmp_path):
+    """A broken checkpoint store must RAISE, not silently read as empty —
+    resuming on a corrupt store would re-validate everything (or restart)."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    with open(os.path.join(ckpt, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    store = CheckpointStore(spark, ckpt)
+    with pytest.raises(Exception):
+        store.completed_partitions("RUN-X", "digest")
+
+
+def test_missing_store_reads_empty(spark, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "never_written"))
+    assert store.completed_partitions("RUN-X", "digest") == set()

@@ -71,3 +71,55 @@ def test_guess_assignments(spark):
         "name": ("Others", None),
         "ts": ("Time", None),
     }
+
+
+def test_time_report_includes_majority_extras(spark):
+    """coerce_by_roles' standalone report must match the reference's
+    _count_time_format_errors fold: invalid + (valid_total - majority)."""
+    df = spark.createDataFrame(
+        [("2024",), ("2025",), ("Mar-2024",), ("junk",), (None,)], "y string"
+    )
+    _, rep = coerce_by_roles(df, {"y": "Time"})
+    r = {x["column"]: x["conversion_errors"] for x in rep.collect()}
+    # 1 invalid ('junk') + (3 valid - 2 majority) = 2
+    assert r["y"] == 2
+
+
+def test_nan_counts_as_null_not_error_for_float_source(spark):
+    """pandas isna() parity: a float-typed source containing NaN coerces to
+    null (no conversion error) for both integer and float targets."""
+    import math
+
+    from ndap_data_validator_spark.functions.coercion import (
+        coerce_to_float,
+        coerce_to_integer,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.5,), (None,)], "m double"
+    )
+    fv, fe = coerce_to_float(F.col("m"), src_type="double")
+    iv, ie = coerce_to_integer(F.col("m"), src_type="double")
+    row = df.agg(
+        F.sum(fv.isNull().cast("long")).alias("f_nulls"),
+        F.sum(fe.cast("long")).alias("f_errs"),
+        F.sum(iv.isNull().cast("long")).alias("i_nulls"),
+        F.sum(ie.cast("long")).alias("i_errs"),
+    ).first()
+    assert row["f_nulls"] == 2 and row["f_errs"] == 0   # NaN + NULL
+    assert row["i_nulls"] == 3 and row["i_errs"] == 1   # NaN, NULL, 2.5; only 2.5 errors
+
+
+def test_nan_string_counts_as_error_and_null(spark):
+    """pandas to_numeric('NaN') → NaN → isna: counted as error AND null."""
+    from ndap_data_validator_spark.functions.coercion import coerce_to_float
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("1.5",), ("NaN",), (None,)], "m string")
+    v, e = coerce_to_float(F.col("m"))
+    row = df.agg(
+        F.sum(v.isNull().cast("long")).alias("nulls"),
+        F.sum(e.cast("long")).alias("errs"),
+    ).first()
+    assert row["nulls"] == 2 and row["errs"] == 1

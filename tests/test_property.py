@@ -116,3 +116,23 @@ def test_salted_validation_identical_reports(spark):
         salt_repartition(df, "conv_id", num_partitions=8), assigns
     ).per_column_report
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_salt_is_deterministic_per_row(spark):
+    """Task retries recompute salts: the same row must always get the same
+    salt value (content-derived, never monotonically_increasing_id)."""
+    from pyspark.sql import functions as F
+
+    df = transcripts(spark, 2_000, 50, seed=42)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(8))
+    a = df.select(F.col("conv_id"), F.col("turn_idx"), salt.alias("s"))
+    b = df.select(F.col("conv_id"), F.col("turn_idx"), salt.alias("s"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # salted plan evaluated twice → identical outputs (stability proxy)
+    r1 = duplicate_keys(
+        salt_repartition(df, "conv_id", num_partitions=8), ["conv_id", "turn_idx"]
+    ).collect()
+    r2 = duplicate_keys(
+        salt_repartition(df, "conv_id", num_partitions=8), ["conv_id", "turn_idx"]
+    ).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
