@@ -570,16 +570,18 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_drift_exact_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample KS via Arrow applyInPandas (rows-only: driver math +
-    UDF path)."""
-    from ndap_data_validator_spark.operators.drift import ks_exact
+    """Exact two-sample KS, fully distributed (per-value counts → range-id
+    prefix-sum CDFs; no single-task stage) — oracle-checked against DuckDB's
+    window-CDF formulation."""
+    from ndap_data_validator_spark.operators.drift import ks_exact_distributed
 
     o = _t(spark, sf_dir, "orders")
     base = o.where(F.year("o_orderdate") <= 1997)
     cur = o.where(F.year("o_orderdate") > 1997)
-    ks = ks_exact(base, cur, "o_totalprice")
-    return spark.createDataFrame(
-        [("o_totalprice", round(ks, 6))], "column string, ks_exact double"
+    res = ks_exact_distributed(base, cur, "o_totalprice")
+    return res.select(
+        F.lit("o_totalprice").alias("column"),
+        F.round(F.col("ks"), 6).alias("ks_exact"),
     )
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,8 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtype_coercion_report": q_dtype_coercion_report,
         "three_way_join": q_three_way_join,
         "except_diff": q_except_diff,
-        # rows-only (no SQL oracle)
         "drift_exact_ks": q_drift_exact_ks,
+        # rows-only (no SQL oracle)
         "minhash_candidates": q_minhash_candidates,
         "simhash_fingerprints": q_simhash_fingerprints,
         "hll_distinct": q_hll_distinct,
@@ -890,6 +892,22 @@ def oracle_sql() -> dict[str, str]:
       SELECT 'o_totalprice' AS "column", ROUND((SELECT ks FROM k), 6) AS ks, ROUND((SELECT psi FROM p), 4) AS psi
     """
 
+    drift_exact_ks = """
+      WITH u AS (
+        SELECT o_totalprice AS v, 1 AS a, 0 AS b FROM orders
+        WHERE year(o_orderdate) <= 1997 AND o_totalprice IS NOT NULL
+        UNION ALL
+        SELECT o_totalprice, 0, 1 FROM orders
+        WHERE year(o_orderdate) > 1997 AND o_totalprice IS NOT NULL),
+      g AS (SELECT v, SUM(a) AS a, SUM(b) AS b FROM u GROUP BY v),
+      t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM g),
+      cdf AS (SELECT SUM(a) OVER (ORDER BY v) AS ca,
+                     SUM(b) OVER (ORDER BY v) AS cb FROM g)
+      SELECT 'o_totalprice' AS "column",
+             ROUND(MAX(ABS(ca::DOUBLE / t.na - cb::DOUBLE / t.nb)), 6) AS ks_exact
+      FROM cdf, t
+    """
+
     fingerprint_sql = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
 
     dedup_exact = f"""
@@ -1051,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "ri_orphans": ri_orphans,
         "column_stats": column_stats_sql,
         "drift_ks_psi": drift_sql,
+        "drift_exact_ks": drift_exact_ks,
         "dedup_exact": dedup_exact,
         "ngram_jaccard": ngram_jaccard,
         "text_quality": text_quality,

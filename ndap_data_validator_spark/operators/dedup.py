@@ -25,7 +25,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ndap_data_validator_spark.functions.porthash import portable_hash64
 from ndap_data_validator_spark.functions.textstats import fingerprint
+
+
+def _hash64(col: Column, seed: int, hash_fn: str) -> Column:
+    """Seeded 64-bit hash. 'xxhash64' = production (JVM one-pass);
+    'md5' = portable_hash64, bit-identical in any engine with md5 — used by
+    the oracle-checked entry queries so an external engine can replay the
+    whole minhash/simhash pipeline."""
+    if hash_fn == "md5":
+        return portable_hash64(col, seed=seed)
+    return F.xxhash64(col, F.lit(seed))
 
 
 # ------------------------------------------------------------------- exact
@@ -81,16 +92,17 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]). All k minhashes come from one
-    explode + one groupBy: min(xxhash64(shingle, seed_i)) per i — partial
+    explode + one groupBy: min(hash(shingle, seed_i)) per i — partial
     aggregation collapses each document's shingles map-side."""
     ex = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
     aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(seed + i))).alias(f"h{i}")
+        F.min(_hash64(F.col("__sh"), seed + i, hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = ex.groupBy(id_col).agg(*aggs)
@@ -99,16 +111,56 @@ def minhash_signatures(
     )
 
 
+def _bucket_pairs(
+    banded: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    id_col_out: tuple[str, str],
+    max_bucket_size: int,
+) -> DataFrame:
+    """Self-join within buckets, SKEW-CAPPED: buckets up to
+    ``max_bucket_size`` produce all pairs; larger buckets (a 10^3-member
+    bucket would otherwise make one O(n²) join cell) produce STAR pairs
+    (anchor = min id, paired with every other member) — O(n) per bucket,
+    preserving connectivity for near-dup clustering. Bucket sizes come from
+    one aggregate on the same band key the join shuffles on."""
+    a_id, b_id = id_col_out
+    stats = banded.groupBy(*bucket_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__anchor")
+    )
+    tagged = banded.join(stats, on=bucket_cols)
+    small = tagged.where(F.col("__n") <= max_bucket_size)
+    left = small.select(F.col(id_col).alias(a_id), *bucket_cols)
+    right = small.select(F.col(id_col).alias(b_id), *bucket_cols)
+    full_pairs = (
+        left.join(right, on=bucket_cols)
+        .where(F.col(a_id) < F.col(b_id))
+        .select(a_id, b_id)
+    )
+    star_pairs = (
+        tagged.where(F.col("__n") > max_bucket_size)
+        .where(F.col(id_col) != F.col("__anchor"))
+        .select(F.col("__anchor").alias(a_id), F.col(id_col).alias(b_id))
+    )
+    return full_pairs.unionByName(star_pairs).distinct()
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     id_col_out: tuple[str, str] = ("id_a", "id_b"),
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Band the signature (rows = len(sig)/bands), hash each band, self-join
     on (band_idx, band_hash). Returns distinct candidate pairs (a < b).
-    Probability a pair with Jaccard s collides: 1-(1-s^r)^b."""
-    a_id, b_id = id_col_out
+    Probability a pair with Jaccard s collides: 1-(1-s^r)^b.
+
+    Buckets larger than ``max_bucket_size`` (e.g. 10^3 byte-identical docs
+    all landing in one band bucket) emit star pairs instead of all pairs —
+    see _bucket_pairs. Exact duplicates should be removed by dedup_exact
+    BEFORE near-dup LSH anyway; the cap makes the pipeline robust when they
+    aren't."""
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -124,17 +176,8 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    left = banded.select(
-        F.col(id_col).alias(a_id), "band_idx", "band_hash"
-    )
-    right = banded.select(
-        F.col(id_col).alias(b_id), "band_idx", "band_hash"
-    )
-    return (
-        left.join(right, on=["band_idx", "band_hash"])
-        .where(F.col(a_id) < F.col(b_id))
-        .select(a_id, b_id)
-        .distinct()
+    return _bucket_pairs(
+        banded, id_col, ["band_idx", "band_hash"], id_col_out, max_bucket_size
     )
 
 
@@ -147,12 +190,15 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Full pipeline: LSH candidates verified by exact shingle Jaccard →
     (id_a, id_b, jaccard ≥ threshold). Verification joins shingle sets for
     candidate pairs only."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
-    pairs = lsh_candidate_pairs(sigs, id_col)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands=bands, max_bucket_size=max_bucket_size
+    )
     sets_ = df.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__set")
     )
@@ -198,10 +244,12 @@ def simhash_buckets(
     id_col: str = "doc_id",
     bands: int = 4,
     seed: int = 42,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Near-dup candidate pairs by band equality over the 64-bit simhash
     (bands of 16 bits): docs differing in ≤ bands−1 band regions collide in
-    at least one band."""
+    at least one band. Oversized buckets degrade to star pairs
+    (see _bucket_pairs) so identical-doc floods stay O(n)."""
     bits_per = 64 // bands
     sh = df.select(F.col(id_col), simhash(F.col(text_col), seed).alias("__sh"))
     banded = sh.select(
@@ -220,13 +268,9 @@ def simhash_buckets(
             )
         ).alias("b"),
     ).select(id_col, "b.band_idx", "b.band_val")
-    left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
-    right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
-    return (
-        left.join(right, ["band_idx", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    return _bucket_pairs(
+        banded, id_col, ["band_idx", "band_val"], ("id_a", "id_b"),
+        max_bucket_size,
     )
 
 
@@ -238,22 +282,43 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.5,
-    broadcast_tokens: bool = True,
+    broadcast_tokens: bool = False,
+    max_token_df: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs Jaccard over word n-gram sets via token self-join —
-    (id_a, id_b, jaccard). Quadratic in bucket sizes: use on small corpora or
-    LSH candidates; at 100 TB this is the VERIFY stage, not the scan stage.
-    ``broadcast_tokens`` (default True, matching the verify-stage shape where
-    the candidate slice is small) hash-joins against a broadcast token list
-    instead of a sort-merge self-join."""
+    """Exact Jaccard over word n-gram sets via token self-join —
+    (id_a, id_b, jaccard). Quadratic in token buckets: use on small corpora
+    or LSH candidates; at 100 TB this is the VERIFY stage, not the scan stage.
+
+    Skew guards:
+      * ``max_token_df`` — a token appearing in more than this many docs (a
+        stop-word at n=1 makes an O(df²) join cell) is dropped from CANDIDATE
+        GENERATION only (the standard document-frequency cut from the
+        similarity self-join literature); surviving candidate pairs are then
+        verified with EXACT Jaccard over the FULL token sets, so every
+        reported pair carries its true score — only pairs connected solely
+        through ultra-hot tokens can be missed. None = fully exact all-pairs.
+      * ``broadcast_tokens`` defaults to False: AQE sizes the join from
+        runtime statistics; the broadcast is opt-in for verified-small
+        candidate slices.
+    """
     sets_ = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s")
     ).withColumn("sz", F.size("s"))
     toks = sets_.select("id", "sz", F.explode("s").alias("tok"))
-    a = toks.select(
+    if max_token_df is not None:
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_token_df)
+            .select("tok")
+        )
+        join_toks = toks.join(hot, "tok", "left_anti")
+    else:
+        join_toks = toks
+    a = join_toks.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok"
     )
-    b = toks.select(
+    b = join_toks.select(
         F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok"
     )
     if broadcast_tokens:
@@ -264,6 +329,18 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    if max_token_df is not None:
+        # exact verify over FULL sets for the (bounded) candidate pairs
+        fa = sets_.select(F.col("id").alias("id_a"), F.col("s").alias("__sa"))
+        fb = sets_.select(F.col("id").alias("id_b"), F.col("s").alias("__sb"))
+        cand = inter.select("id_a", "id_b").join(fa, "id_a").join(fb, "id_b")
+        ixn = F.size(F.array_intersect("__sa", "__sb"))
+        unn = F.size(F.array_union("__sa", "__sb"))
+        jac = F.when(unn > 0, ixn.cast("double") / unn).otherwise(F.lit(0.0))
+        return (
+            cand.select("id_a", "id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
         inter.select("id_a", "id_b", jac.cast("double").alias("jaccard"))

@@ -154,6 +154,104 @@ def ks_exact(
     return float(out["ks"])
 
 
+def ks_exact_distributed(
+    baseline_df: DataFrame,
+    current_df: DataFrame,
+    column: str,
+    num_range_partitions: int = 32,
+) -> DataFrame:
+    """Exact two-sample KS over RAW values, fully distributed — the scale
+    path that replaces the single-task ``ks_exact`` (VERDICT r01 #3).
+
+    The step CDFs attain their supremum at a jump point, so evaluating
+    |F_a − F_b| at every DISTINCT pooled value is exact. Plan:
+
+      1. tag + union + ``groupBy(value)`` → (v, a_cnt, b_cnt): ONE shuffle,
+         map-side partial counts; the frame shrinks to |distinct values|.
+      2. ``repartitionByRange(v)`` → per-partition prefix sums via a window
+         PARTITIONED BY the range-partition id (each task sorts only its
+         slice), plus per-partition totals rolled into offsets.
+      3. global CDF = local cumsum + broadcast offset; KS = max |ΔCDF|.
+
+    No stage ever holds more than one range slice of the distinct values;
+    the only single-partition work is the offsets window over
+    ``num_range_partitions`` rows (partition-COUNT-sized, like the summary
+    frame, not data-sized). The range id is a DETERMINISTIC function of the
+    value (``width_bucket`` over the observed min/max), never
+    ``spark_partition_id`` — re-executions and task retries always agree on
+    which slice a value belongs to. Returns a 1-row DataFrame (ks, n_a, n_b).
+    """
+    a = (
+        baseline_df.where(F.col(column).isNotNull())
+        .select(F.col(column).cast("double").alias("v"))
+        .select("v", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+    )
+    b = (
+        current_df.where(F.col(column).isNotNull())
+        .select(F.col(column).cast("double").alias("v"))
+        .select("v", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    )
+    union = a.unionByName(b)
+    mm = union.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    lo, hi = mm["lo"], mm["hi"]
+    if lo is None:  # both sides empty
+        return union.sparkSession.createDataFrame(
+            [(0.0, 0, 0)], "ks double, n_a long, n_b long"
+        )
+    if lo == hi:
+        hi = lo + 1.0
+    # equal-width range id — even a skewed value distribution only unbalances
+    # slice sizes, never correctness (production could swap in approxQuantile
+    # boundaries for balance).
+    pid = F.width_bucket(F.col("v"), F.lit(float(lo)), F.lit(float(hi)), F.lit(num_range_partitions))
+    counts = (
+        union.groupBy("v")
+        .agg(F.sum("__a").alias("a_cnt"), F.sum("__b").alias("b_cnt"))
+        .withColumn("pid", pid)
+    )
+
+    from pyspark.sql import Window
+
+    totals = counts.groupBy("pid").agg(
+        F.sum("a_cnt").alias("pa"), F.sum("b_cnt").alias("pb")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("pa").over(w_off), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("pb").over(w_off), F.lit(0)).alias("off_b"),
+    )
+
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = (
+        counts.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.sum("a_cnt").over(w_local) + F.col("off_a")).alias("ca"),
+            (F.sum("b_cnt").over(w_local) + F.col("off_b")).alias("cb"),
+        )
+    )
+    grand = totals.agg(
+        F.sum("pa").alias("n_a"), F.sum("pb").alias("n_b")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(grand))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("n_a")
+                    - F.col("cb").cast("double") / F.col("n_b")
+                )
+            ).alias("ks"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+
+
 def drift_check(
     current_df: DataFrame,
     baseline_snapshot: dict[str, dict],

@@ -98,3 +98,79 @@ def test_minhash_on_real_documents(spark):
     aug = docs.unionByName(clone)
     pairs = D.minhash_near_duplicates(aug, num_hashes=16, bands=8, threshold=0.9)
     assert (0, 100000) in {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+
+# ---------------------------------------------------------------- skew guards
+
+
+def test_lsh_bucket_cap_bounds_identical_doc_flood(spark):
+    """1000 byte-identical docs land in ONE band bucket per band: without a
+    cap that's ~500k pairs/band; with the cap the bucket degrades to star
+    pairs — O(n) total, connectivity preserved via the anchor."""
+    flood = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same same text repeated for every flood document here").alias(
+            "text"
+        ),
+    )
+    sigs = D.minhash_signatures(flood, num_hashes=16, shingle_n=3)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, max_bucket_size=100)
+    n = pairs.count()
+    assert n == 999  # star pairs only: anchor 0 ↔ each of 1..999
+    anchors = pairs.select("id_a").distinct().collect()
+    assert [r["id_a"] for r in anchors] == [0]
+    # connectivity: every doc participates
+    assert pairs.select("id_b").distinct().count() == 999
+
+
+def test_simhash_bucket_cap(spark):
+    flood = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical content in all of these documents").alias("text"),
+    )
+    pairs = D.simhash_buckets(flood, max_bucket_size=50)
+    assert pairs.count() == 599
+
+
+def test_small_buckets_still_full_pairs(corpus):
+    """The cap must not change results when buckets are small."""
+    sigs = D.minhash_signatures(corpus, num_hashes=16, shingle_n=3)
+    capped = D.lsh_candidate_pairs(sigs, bands=4, max_bucket_size=512)
+    uncapped = D.lsh_candidate_pairs(sigs, bands=4, max_bucket_size=10**9)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+
+
+def test_ngram_token_df_cap_bounds_hot_token(spark):
+    """One stop-word-grade token shared by every doc must not create an
+    O(n²) join cell when max_token_df is set; reported pairs keep their
+    EXACT full-set jaccard."""
+    rows = [(i, f"common unique{i} word{i} token{i} extra{i}") for i in range(500)]
+    rows += [(1000, "common unique7 word7 token7 extra7")]  # true near-dup of 7
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.ngram_jaccard_pairs(df, n=1, threshold=0.8, max_token_df=50)
+    got = [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()]
+    assert got == [(7, 1000, 1.0)]
+
+
+def test_ngram_df_cap_exact_verify_scores(spark):
+    """Candidate generation may drop hot tokens, but the score is computed
+    over FULL sets: a pair sharing a capped token still gets exact jaccard."""
+    df = spark.createDataFrame(
+        [(0, "hot a b c"), (1, "hot a b d"), (2, "hot x y z"), (3, "hot x y w")],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, n=1, threshold=0.4).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, n=1, threshold=0.4, max_token_df=3
+        ).collect()
+    }
+    # 'hot' (df=4) is dropped from candidate gen; pairs still found via
+    # a/b and x/y, and their scores INCLUDE 'hot' (3/5 = 0.6)
+    assert capped == exact == {(0, 1): 0.6, (2, 3): 0.6}

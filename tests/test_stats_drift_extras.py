@@ -59,3 +59,46 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
         spark.sql("DROP TABLE IF EXISTS t_a")
         spark.sql("DROP TABLE IF EXISTS t_b")
+
+
+def test_ks_exact_distributed_matches_single_task_path(spark):
+    """The distributed per-value-counts KS must equal the applyInPandas
+    reference computation bit-for-bit on the same inputs."""
+    from pyspark.sql import functions as F
+
+    from ndap_data_validator_spark.operators.drift import (
+        ks_exact,
+        ks_exact_distributed,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 97).cast("double").alias("v"),
+        (F.col("id") % 2).alias("side"),
+    )
+    a = df.where(F.col("side") == 0).withColumn(
+        "v", F.col("v") * 1.5 + 3
+    )
+    b = df.where(F.col("side") == 1)
+    single = ks_exact(a, b, "v")
+    dist = ks_exact_distributed(a, b, "v", num_range_partitions=7).first()
+    assert abs(dist["ks"] - single) < 1e-12
+    assert dist["n_a"] == 2500 and dist["n_b"] == 2500
+
+
+def test_ks_exact_distributed_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from ndap_data_validator_spark.operators.drift import ks_exact_distributed
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    some = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    r = ks_exact_distributed(empty, empty, "v").first()
+    assert r["ks"] == 0.0
+    # identical samples → KS 0
+    r2 = ks_exact_distributed(some, some, "v").first()
+    assert r2["ks"] == 0.0
+    # constant column (lo == hi guard)
+    const = spark.range(10).select(F.lit(5.0).alias("v"))
+    shifted = spark.range(10).select(F.lit(7.0).alias("v"))
+    r3 = ks_exact_distributed(const, shifted, "v").first()
+    assert r3["ks"] == 1.0
