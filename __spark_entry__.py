@@ -585,19 +585,27 @@ def q_drift_exact_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline on documents + a planted clone."""
+    """MinHash+LSH near-dup pipeline on documents + a planted clone —
+    oracle-checked end to end: the md5 portable hash lets DuckDB replay
+    shingling → 16 minhashes → 8-band bucket join → exact-Jaccard verify."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     clone = d.where(F.col("doc_id") == 0).withColumn(
         "doc_id", F.lit(1_000_000).cast("long")
     )
-    return minhash_near_duplicates(
-        d.unionByName(clone), num_hashes=16, bands=8, threshold=0.8
+    out = minhash_near_duplicates(
+        d.unionByName(clone), num_hashes=16, bands=8, threshold=0.8,
+        hash_fn="md5",
     )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures, oracle-checked bit-for-bit via the md5
+    portable token hash (xxhash64 stays the production default)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
+    return d.select(
+        "doc_id", simhash(F.col("text"), hash_fn="md5").alias("simhash64")
+    )
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,12 +660,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force top-k (rank ties FP-sensitive across engines →
-    rows-only check; the threshold variant above is oracle-checked)."""
+    """Exact brute-force top-k, oracle-checked: ranking on the 4-dp ROUNDED
+    cosine (ties broken by id) makes the order well-defined across engines —
+    raw-double rank ties are FP-noise-sensitive."""
     from ndap_data_validator_spark.operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, round_digits=4
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -688,12 +701,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "three_way_join": q_three_way_join,
         "except_diff": q_except_diff,
         "drift_exact_ks": q_drift_exact_ks,
-        # rows-only (no SQL oracle)
         "minhash_candidates": q_minhash_candidates,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "knn_topk": q_knn_topk,
+        # rows-only (no SQL oracle: HLL estimates can't byte-match another
+        # engine; media features ride a UDF kernel; IVF is iterative k-means)
         "hll_distinct": q_hll_distinct,
         "media_features": q_media_features,
-        "knn_topk": q_knn_topk,
         "ann_ivf": q_ann_ivf,
     }
 
@@ -710,6 +724,81 @@ def _planes_sql() -> str:
             f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         )
     return " + ".join(terms)
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42,
+                        threshold: float = 0.8, shingle_n: int = 3) -> str:
+    """DuckDB replay of the full md5-portable MinHash+LSH pipeline
+    (operators/dedup.py minhash_near_duplicates with hash_fn='md5')."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    mins = ", ".join(
+        f"MIN({P('sh', seed + i)}) AS h{i}" for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=P(
+                " || ',' || ".join(
+                    f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    k = shingle_n - 1
+    jac = (
+        "len(list_intersect(x.shingles, y.shingles))::DOUBLE"
+        " / (len(x.shingles) + len(y.shingles)"
+        " - len(list_intersect(x.shingles, y.shingles)))"
+    )
+    return rf"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT CAST(1000000 AS BIGINT), text FROM documents WHERE doc_id = 0),
+      w AS (SELECT doc_id,
+              regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+            FROM docs),
+      s AS (SELECT doc_id,
+              CASE WHEN len(w) - {k} <= 0 THEN [array_to_string(w, ' ')]
+                   ELSE list_distinct(list_transform(
+                          generate_series(1, len(w) - {k}),
+                          i -> array_to_string(w[i:i+{k}], ' ')))
+              END AS shingles
+            FROM w),
+      ex AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+      sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+      banded AS ({band_selects}),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b USING (band_idx, band_hash)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b, ROUND({jac}, 4) AS jaccard
+      FROM pairs p
+      JOIN s x ON p.id_a = x.doc_id
+      JOIN s y ON p.id_b = y.doc_id
+      WHERE {jac} >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(seed: int = 42) -> str:
+    """DuckDB replay of the md5-portable 64-bit SimHash: the portable hash
+    is 60-bit, so bits 60-63 vote −len(toks) (never set) on both engines."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    vote_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, v -> (v >> {bit}) & 1 = 1)) - len(h) > 0 "
+        f"THEN CAST({1 << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(60)
+    )
+    return rf"""
+      WITH t AS (SELECT doc_id,
+              regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+            FROM documents WHERE doc_id < 200),
+      hh AS (SELECT doc_id, list_transform(toks, x -> {P('x', seed)}) AS h FROM t)
+      SELECT doc_id, {vote_terms} AS simhash64 FROM hh
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -998,6 +1087,19 @@ def oracle_sql() -> dict[str, str]:
       SELECT vec_id, CAST({_planes_sql()} AS BIGINT) AS bucket FROM embeddings
     """
 
+    knn_topk = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      s AS (SELECT q.query_id, e.vec_id,
+              ROUND(list_dot_product(q.qv, e.v)
+                / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+            FROM q, e),
+      r AS (SELECT query_id, vec_id, cos,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+            FROM s)
+      SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
+    """
+
     topk_orders = """
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
@@ -1077,6 +1179,9 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": token_count_bpe,
         "knn_threshold": knn_threshold,
         "ann_lsh_buckets": ann_lsh,
+        "knn_topk": knn_topk,
+        "minhash_candidates": _minhash_oracle_sql(),
+        "simhash_fingerprints": _simhash_oracle_sql(),
         "topk_orders": topk_orders,
         "dtype_coercion_report": dtype_coercion_report,
         "three_way_join": """

@@ -151,6 +151,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     id_col_out: tuple[str, str] = ("id_a", "id_b"),
     max_bucket_size: int = 512,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature (rows = len(sig)/bands), hash each band, self-join
     on (band_idx, band_hash). Returns distinct candidate pairs (a < b).
@@ -160,20 +161,25 @@ def lsh_candidate_pairs(
     all landing in one band bucket) emit star pairs instead of all pairs —
     see _bucket_pairs. Exact duplicates should be removed by dedup_exact
     BEFORE near-dup LSH anyway; the cap makes the pipeline robust when they
-    aren't."""
+    aren't.
+
+    ``hash_fn='md5'`` hashes each band as portable_hash64 over the
+    comma-joined slice — any engine can replay the banding for verification."""
+
+    def band_hash(b: Column) -> Column:
+        sl = F.slice(
+            F.col("sig"),
+            b * (F.size("sig") / bands).cast("int") + 1,
+            (F.size("sig") / bands).cast("int"),
+        )
+        if hash_fn == "md5":
+            return portable_hash64(F.concat_ws(",", sl))
+        return F.xxhash64(sl.cast("string"))
+
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        F.col("sig"),
-                        b * (F.size("sig") / bands).cast("int") + 1,
-                        (F.size("sig") / bands).cast("int"),
-                    ).cast("string")
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_hash)
         ).alias("band_idx", "band_hash"),
     )
     return _bucket_pairs(
@@ -191,13 +197,17 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket_size: int = 512,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full pipeline: LSH candidates verified by exact shingle Jaccard →
     (id_a, id_b, jaccard ≥ threshold). Verification joins shingle sets for
     candidate pairs only."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, seed, hash_fn=hash_fn
+    )
     pairs = lsh_candidate_pairs(
-        sigs, id_col, bands=bands, max_bucket_size=max_bucket_size
+        sigs, id_col, bands=bands, max_bucket_size=max_bucket_size,
+        hash_fn=hash_fn,
     )
     sets_ = df.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__set")
@@ -216,12 +226,14 @@ def minhash_near_duplicates(
 
 # ------------------------------------------------------------------ SimHash
 
-def simhash(col: Column, seed: int = 42) -> Column:
+def simhash(col: Column, seed: int = 42, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash of the whitespace tokens: for each bit, sum(+1/−1 over
     token hashes) → sign. Expressed as 64 aggregate-over-array expressions
-    folded into one bigint — pure Catalyst."""
+    folded into one bigint — pure Catalyst. With ``hash_fn='md5'`` the token
+    hashes are 60-bit portable hashes (bits 60-63 vote 0 on every doc) so an
+    external engine can reproduce the signature bit-for-bit."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    hashes = F.transform(toks, lambda t: _hash64(t, seed, hash_fn))
     out = F.lit(0).cast("bigint")
     for bit in range(64):
         vote = F.aggregate(
@@ -245,13 +257,16 @@ def simhash_buckets(
     bands: int = 4,
     seed: int = 42,
     max_bucket_size: int = 512,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs by band equality over the 64-bit simhash
     (bands of 16 bits): docs differing in ≤ bands−1 band regions collide in
     at least one band. Oversized buckets degrade to star pairs
     (see _bucket_pairs) so identical-doc floods stay O(n)."""
     bits_per = 64 // bands
-    sh = df.select(F.col(id_col), simhash(F.col(text_col), seed).alias("__sh"))
+    sh = df.select(
+        F.col(id_col), simhash(F.col(text_col), seed, hash_fn).alias("__sh")
+    )
     banded = sh.select(
         id_col,
         F.explode(

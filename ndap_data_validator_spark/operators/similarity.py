@@ -47,20 +47,29 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query → (query_id, vec_id, cos, rank).
     Queries are broadcast (they are always the small side); rank ties break
-    on corpus id for deterministic output."""
+    on corpus id for deterministic output.
+
+    ``round_digits`` rounds the score BEFORE ranking: near-equal neighbors
+    whose raw doubles could order differently across engines (last-ulp FP
+    noise) become well-defined ties broken by id — the shape used by the
+    oracle-checked entry so an external engine ranks identically."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
         )
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    score = cosine(F.col("__qv"), F.col("__cv"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
     scored = q.crossJoin(c).select(
         query_id_col,
         id_col,
-        cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        score.alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos"), F.asc(id_col)
@@ -142,21 +151,29 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iterations: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
-    """IVF coarse quantizer: deterministic seed centroids (every k-th corpus
-    vector) refined by a few Lloyd iterations done as joins+groupBy —
-    distributed k-means-lite, no driver-side data. Returns (cell_id,
-    centroid: array<double>)."""
-    n = corpus.count()
-    stride = max(n // n_centroids, 1)
+    """IVF coarse quantizer: deterministic pseudo-random seed centroids —
+    the ``n_centroids`` corpus vectors minimizing ``xxhash64(id, seed)``
+    (TakeOrderedAndProject: a distributed top-k, no count job, no global
+    sort, any id type) — refined by a few Lloyd iterations done as
+    joins+groupBy — distributed k-means-lite, no driver-side data.
+    Returns (cell_id, centroid: array<double>)."""
+    from pyspark.sql import Window as W
+
+    order = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
     cents = (
-        corpus.where((F.col(id_col) % stride == 0))
-        .orderBy(id_col)
+        corpus.orderBy(order)
         .limit(n_centroids)
         .select(
-            F.monotonically_increasing_id().alias("cell_id"),
+            F.col(id_col).alias("__seed_id"),
             F.col(vec_col).cast("array<double>").alias("centroid"),
         )
+        .withColumn(
+            "cell_id",
+            F.row_number().over(W.orderBy(F.col("__seed_id"))) - 1,
+        )
+        .select("cell_id", "centroid")
     )
     for _ in range(lloyd_iterations):
         assigned = assign_cells(corpus, cents, id_col, vec_col)

@@ -85,3 +85,43 @@ def test_broadcast_in_topk_plan(emb):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_finds_planted_clone_full_probe(spark, emb):
+    """Deterministic fixture for the ann_ivf entry: a cloned vector must be
+    its original's top neighbor when every cell is probed (IVF ≡ brute
+    force at full probe)."""
+    clone = emb.where(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(100000).cast("long")
+    )
+    aug = emb.unionByName(clone)
+    got = S.ivf_topk(
+        aug, aug.where(F.col("vec_id") == 100000), k=2,
+        n_centroids=8, n_probe=8,
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert set(ids) == {100000, 0}  # self + the original, cos 1.0 each
+    assert all(abs(r["cos"] - 1.0) < 1e-9 for r in got)
+
+
+def test_ivf_centroids_no_count_and_string_ids(spark, emb):
+    """Seed-centroid selection must work for non-numeric ids (no modulo on
+    the id) and be deterministic across invocations."""
+    sdf = emb.select(
+        F.concat(F.lit("v-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    c1 = S.ivf_centroids(sdf, n_centroids=4, lloyd_iterations=0)
+    c2 = S.ivf_centroids(sdf, n_centroids=4, lloyd_iterations=0)
+    r1 = sorted((r["cell_id"], tuple(r["centroid"])) for r in c1.collect())
+    r2 = sorted((r["cell_id"], tuple(r["centroid"])) for r in c2.collect())
+    assert r1 == r2 and len(r1) == 4
+
+
+def test_brute_force_round_rank_deterministic(emb):
+    """round_digits ranks on the rounded score with id tie-breaks — two
+    evaluations must agree exactly (the oracle-checked knn_topk shape)."""
+    q = emb.where(F.col("vec_id") < 3)
+    a = S.brute_force_topk(emb, q, k=5, round_digits=4).collect()
+    b = S.brute_force_topk(emb, q, k=5, round_digits=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
