@@ -534,6 +534,44 @@ def q_datetime_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 raw-file form (the reference's entire ingestion is CSV,
+    main.py:120-125): events round-tripped through a CSV copy, read back via
+    the csv: source scheme WITH an explicit schema (no inferSchema pass),
+    then rolled up — the oracle runs the same rollup on the parquet
+    original, so the round-trip itself is what's verified."""
+    import os as _os
+
+    from ndap_data_validator_spark.sources.tables import load_table
+
+    base = _os.path.join(
+        "/root/repo/.cache/csv", _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    marker = _os.path.join(base, "events.csv", "_SUCCESS")
+    if not _os.path.exists(marker):
+        (
+            _t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .coalesce(4)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(_os.path.join(base, "events.csv"))
+        )
+    e = load_table(
+        spark,
+        f"csv:{base}",
+        "events",
+        schema="event_id bigint, user_id bigint, event_type string, value double",
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+    )
+
+
 def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: chained key joins (lineage report shape, utils/db.py:548-551) —
     orders→customer→nation rollup; small dims broadcast."""
@@ -701,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "three_way_join": q_three_way_join,
         "except_diff": q_except_diff,
         "drift_exact_ks": q_drift_exact_ks,
+        "csv_events_rollup": q_csv_events_rollup,
         "minhash_candidates": q_minhash_candidates,
         "simhash_fingerprints": q_simhash_fingerprints,
         "knn_topk": q_knn_topk,
@@ -1182,6 +1221,15 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk": knn_topk,
         "minhash_candidates": _minhash_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
+        "csv_events_rollup": """
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+          FROM events GROUP BY event_type
+        """,
         "topk_orders": topk_orders,
         "dtype_coercion_report": dtype_coercion_report,
         "three_way_join": """

@@ -50,6 +50,9 @@ def partition_key(partition_by: str | Column) -> Column:
     return F.coalesce(col.cast("string"), F.lit(NULL_PARTITION))
 
 
+LOAD_MODES = ("new", "full_reload", "delta", "structure_change")
+
+
 def run_validation(
     spark: SparkSession,
     df: DataFrame,
@@ -62,14 +65,48 @@ def run_validation(
     publish_path: str | None = None,
     catalog: RuleCatalog | None = None,
     schema_name: str | None = None,
+    load_mode: str = "new",
+    watermark_col: str | None = None,
 ) -> RunOutcome:
+    """Checkpointed validation run.
+
+    ``load_mode`` re-expresses the reference's four load modes
+    (main.py:180-187, 539-549):
+      * ``new``             — resume semantics: skip partitions already done
+                              for (run_id, rule_digest).
+      * ``full_reload``     — ignore completions; validate everything.
+      * ``delta``           — incremental: only rows with ``watermark_col``
+                              ABOVE the stored high-watermark are validated;
+                              their partitions' report rows overwrite (dynamic
+                              partition overwrite), so the report directory
+                              folds prior + new partitions; the new max is
+                              recorded after the run.
+      * ``structure_change``— full re-validate after a schema change (read
+                              the source with mergeSchema; the rule digest
+                              already invalidates completions when
+                              assignments change).
+    """
+    if load_mode not in LOAD_MODES:
+        raise ValueError(f"load_mode must be one of {LOAD_MODES}")
     engine = ValidationEngine(catalog=catalog, schema_name=schema_name)
     run_id = run_id or new_run_id()
     digest = assignment_digest(assignments, engine.catalog, engine.schema_name)
     store = CheckpointStore(spark, checkpoint_path)
 
     key = partition_key(partition_by)
-    done = store.completed_partitions(run_id, digest)
+
+    if load_mode == "delta":
+        if watermark_col is None:
+            raise ValueError("delta load_mode requires watermark_col")
+        last_wm = store.last_watermark(watermark_col)
+        if last_wm is not None:
+            wm_type = dict(df.dtypes)[watermark_col]
+            df = df.where(F.col(watermark_col) > F.lit(last_wm).cast(wm_type))
+
+    if load_mode in ("full_reload", "structure_change"):
+        done: set[str] = set()
+    else:
+        done = store.completed_partitions(run_id, digest)
 
     remaining = df.where(~key.isin(sorted(done))) if done else df
 
@@ -96,59 +133,90 @@ def run_validation(
             .parquet(f"{report_path}/violations")
         )
 
-    summaries = result.summary.collect()  # one row per partition — tiny
-    # per-partition per-column stats accumulators ride in the checkpoint
-    # metrics (north_star: "per-partition lineage, rule digests, and stats
-    # accumulators") — both frames are partition-count-sized, not data-sized.
-    per_col = result.per_column_report.collect()
-    col_stats: dict[str, dict[str, dict]] = {}
-    for r in per_col:
-        col_stats.setdefault(r["partition_id"], {})[r["column"]] = {
-            "nulls": r["nulls"],
-            "conversion_errors": r["conversion_errors"],
-            "passed": r["passed"],
-        }
-    metrics = {
-        r["partition_id"]: {
-            "rows": r["rows"],
-            "failed_count": r["failed_count"],
-            "failed_columns": list(r["failed_columns"]),
-            "passed": r["passed"],
-            "columns": col_stats.get(r["partition_id"], {}),
-        }
-        for r in summaries
-    }
-    store.mark_done_bulk(run_id, digest, metrics)
+    # Checkpoint metrics are assembled DISTRIBUTED: per-column stats fold to
+    # a map per partition, join the summary, and to_json builds the record —
+    # no per-column collect() in the run path (the old driver fold was a
+    # bottleneck at 10^5 partitions × wide schemas). The only collect is the
+    # partition-id list for the outcome (one short string per partition).
+    processed = sorted(
+        r["partition_id"] for r in result.summary.select("partition_id").collect()
+    )
+    if processed:
+        per_col_map = result.per_column_report.groupBy("partition_id").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("column"),
+                        F.struct("nulls", "conversion_errors", "passed"),
+                    )
+                )
+            ).alias("columns")
+        )
+        metrics_frame = (
+            result.summary.join(per_col_map, "partition_id", "left")
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.col("partition_id"),
+                F.lit(digest).alias("rule_digest"),
+                F.lit("done").alias("status"),
+                F.to_json(
+                    F.struct(
+                        F.col("rows"),
+                        F.col("failed_count"),
+                        F.col("failed_columns"),
+                        F.col("passed"),
+                        F.col("columns"),
+                    )
+                ).alias("metrics_json"),
+            )
+        )
+        store.mark_done_frame(metrics_frame)
 
-    if publish_path is not None:
+    if publish_path is not None and processed:
         # "validation gates publishing; the published object is the ORIGINAL
         # bytes, not the coerced frame" (main.py:1206-1249, 1396, 1414-1415):
         # passed partitions' source rows are appended unmodified, keyed by
-        # partition_id (dynamic overwrite → idempotent on resume).
-        passed_parts = sorted(p for p, m in metrics.items() if m["passed"])
-        if passed_parts:
-            (
-                remaining.withColumn("partition_id", key)
-                .where(F.col("partition_id").isin(passed_parts))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("partition_id")
-                .parquet(publish_path)
-            )
+        # partition_id (dynamic overwrite → idempotent on resume). The gate
+        # is a semi-join against the (tiny, AQE-broadcast) passed-summary
+        # frame — no driver-side partition list.
+        passed_parts = result.summary.where(F.col("passed")).select(
+            "partition_id"
+        )
+        (
+            remaining.withColumn("partition_id", key)
+            .join(passed_parts, "partition_id", "left_semi")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_id")
+            .parquet(publish_path)
+        )
+
+    if load_mode == "delta" and watermark_col is not None:
+        new_wm = remaining.agg(
+            F.max(F.col(watermark_col)).cast("string").alias("wm")
+        ).first()["wm"]
+        if new_wm is not None:
+            store.record_watermark(watermark_col, new_wm)
 
     # passed_all folds over every partition recorded for this run — the
     # resumed half plus previously-done ones (main.py:926-936 semantics).
-    import json as _json
-
-    log = store.run_log(run_id).where(F.col("rule_digest") == digest).collect()
-    passed_all = all(
-        _json.loads(r["metrics_json"]).get("passed", False) for r in log
-    ) and len(log) > 0
+    log = (
+        store.run_log(run_id)
+        .where(F.col("rule_digest") == digest)
+        .where(F.col("status") == "done")
+    )
+    fold = log.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(
+            F.get_json_object("metrics_json", "$.passed") == F.lit("true")
+        ).alias("all_passed"),
+    ).first()
+    passed_all = bool(fold["n"] > 0 and fold["all_passed"])
 
     return RunOutcome(
         run_id=run_id,
         rule_digest=digest,
-        processed_partitions=sorted(metrics),
+        processed_partitions=processed,
         skipped_partitions=sorted(done),
         passed_all=passed_all,
         result=result,

@@ -30,12 +30,35 @@ TESTDATA_TABLES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table. ``sf_dir`` may be a parquet directory (sandbox) or an
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    schema: str | None = None,
+    csv_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read one table. ``sf_dir`` may be a parquet directory (sandbox), an
     Iceberg namespace like ``iceberg:db`` (cluster: resolves to
-    ``spark.read.table('db.<name>')``)."""
+    ``spark.read.table('db.<name>')``), or a CSV directory like
+    ``csv:/path`` (≙ the reference's raw-file input, main.py:120-125 —
+    its entire ingestion is CSV from S3).
+
+    CSV notes: pass ``schema`` (DDL string) in production — ``inferSchema``
+    is a convenience fallback that costs an EXTRA full pass over the files,
+    which is unacceptable at 100 TB. Header on by default; override via
+    ``csv_options``."""
     if sf_dir.startswith("iceberg:"):
         return spark.read.table(f"{sf_dir.removeprefix('iceberg:')}.{name}")
+    if sf_dir.startswith("csv:"):
+        base = sf_dir.removeprefix("csv:")
+        reader = spark.read.option("header", "true")
+        for k, v in (csv_options or {}).items():
+            reader = reader.option(k, v)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(os.path.join(base, f"{name}.csv"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

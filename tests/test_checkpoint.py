@@ -139,3 +139,79 @@ def test_corrupt_store_raises(spark, tmp_path):
 def test_missing_store_reads_empty(spark, tmp_path):
     store = CheckpointStore(spark, str(tmp_path / "never_written"))
     assert store.completed_partitions("RUN-X", "digest") == set()
+
+
+def _mini_frames(spark):
+    rows1 = [(f"p{i % 4}", i, float(i)) for i in range(400)]
+    rows2 = [(f"q{i % 3}", i, float(i)) for i in range(400, 700)]
+    df1 = spark.createDataFrame(rows1, "part string, seq long, m double")
+    df2 = spark.createDataFrame(rows2, "part string, seq long, m double")
+    return df1, df1.unionByName(df2)
+
+
+MINI_ASSIGNS = [
+    ColumnAssignment("part", "Location"),
+    ColumnAssignment("m", "Measures", "float"),
+]
+
+
+def test_delta_load_mode_incremental_equals_full(spark, tmp_path):
+    """VERDICT r01 #5: a delta run over appended data validates ONLY the new
+    rows, and the folded report directory equals a full re-run's report."""
+    df1, both = _mini_frames(spark)
+    ckpt, rep = str(tmp_path / "ckpt"), str(tmp_path / "rep")
+
+    out1 = run_validation(
+        spark, df1, MINI_ASSIGNS, "part", checkpoint_path=ckpt,
+        report_path=rep, load_mode="delta", watermark_col="seq",
+    )
+    assert sorted(out1.processed_partitions) == ["p0", "p1", "p2", "p3"]
+
+    out2 = run_validation(
+        spark, both, MINI_ASSIGNS, "part", checkpoint_path=ckpt,
+        report_path=rep, load_mode="delta", watermark_col="seq",
+    )
+    # only the appended rows (seq > 399) were validated
+    assert sorted(out2.processed_partitions) == ["q0", "q1", "q2"]
+
+    full = run_validation(
+        spark, both, MINI_ASSIGNS, "part",
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        report_path=str(tmp_path / "rep2"), load_mode="full_reload",
+    )
+    a = spark.read.parquet(f"{rep}/per_column")
+    b = spark.read.parquet(str(tmp_path / "rep2/per_column"))
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert sorted(full.processed_partitions) == sorted(
+        ["p0", "p1", "p2", "p3", "q0", "q1", "q2"]
+    )
+
+
+def test_delta_noop_when_no_new_rows(spark, tmp_path):
+    df1, _ = _mini_frames(spark)
+    ckpt = str(tmp_path / "ckpt")
+    run_validation(
+        spark, df1, MINI_ASSIGNS, "part", checkpoint_path=ckpt,
+        load_mode="delta", watermark_col="seq",
+    )
+    again = run_validation(
+        spark, df1, MINI_ASSIGNS, "part", checkpoint_path=ckpt,
+        load_mode="delta", watermark_col="seq",
+    )
+    assert again.processed_partitions == []
+
+
+def test_full_reload_ignores_completions(spark, tmp_path):
+    df1, _ = _mini_frames(spark)
+    ckpt = str(tmp_path / "ckpt")
+    run_id = new_run_id()
+    out1 = run_validation(
+        spark, df1, MINI_ASSIGNS, "part", checkpoint_path=ckpt, run_id=run_id
+    )
+    out2 = run_validation(
+        spark, df1, MINI_ASSIGNS, "part", checkpoint_path=ckpt, run_id=run_id,
+        load_mode="full_reload",
+    )
+    assert out2.skipped_partitions == []
+    assert out2.processed_partitions == out1.processed_partitions
