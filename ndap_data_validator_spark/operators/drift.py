@@ -192,7 +192,16 @@ def ks_exact_distributed(
         .select("v", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
     )
     union = a.unionByName(b)
-    mm = union.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    # ONE scan of the raw data: the per-value counts (|distinct values| rows,
+    # far smaller than the input) are persisted and every later step — the
+    # min/max for the range grid, per-slice totals, the CDF window and the
+    # final max — reads the cached reduction, never the source again.
+    base_counts = (
+        union.groupBy("v")
+        .agg(F.sum("__a").alias("a_cnt"), F.sum("__b").alias("b_cnt"))
+        .persist()
+    )
+    mm = base_counts.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
     lo, hi = mm["lo"], mm["hi"]
     if lo is None:  # both sides empty
         return union.sparkSession.createDataFrame(
@@ -204,11 +213,7 @@ def ks_exact_distributed(
     # slice sizes, never correctness (production could swap in approxQuantile
     # boundaries for balance).
     pid = F.width_bucket(F.col("v"), F.lit(float(lo)), F.lit(float(hi)), F.lit(num_range_partitions))
-    counts = (
-        union.groupBy("v")
-        .agg(F.sum("__a").alias("a_cnt"), F.sum("__b").alias("b_cnt"))
-        .withColumn("pid", pid)
-    )
+    counts = base_counts.withColumn("pid", pid)
 
     from pyspark.sql import Window
 
