@@ -366,11 +366,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard near-dup pairs on a bounded slice (the VERIFY
-    stage of the dedup pipeline)."""
+    stage of the dedup pipeline). broadcast_tokens=True is the verified-small
+    opt-in: the 120-doc token side broadcasts instead of shuffle-joining on
+    the (hot) token key."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
-    return ngram_jaccard_pairs(d, n=1, threshold=0.9).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    )
+    return ngram_jaccard_pairs(
+        d, n=1, threshold=0.9, broadcast_tokens=True
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,7 +672,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 2 + 1).cast("int"),
         ).alias("kind"),
         F.sha2(F.col("text"), 256).cast("binary").alias("content"),
-    )
+    ).coalesce(2)  # 100 rows: don't spin an Arrow python worker per partition
     feats = multimodal.extract_features(media, fake=True)
     return feats.select(
         "media_id",
