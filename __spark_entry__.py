@@ -536,6 +536,51 @@ def q_datetime_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact-jaccard pairs → iterative min-label
+    connected components → (node, comp). The piece between pair generation
+    and keeper selection; oracle = recursive-CTE transitive closure."""
+    from ndap_data_validator_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    pairs = ngram_jaccard_pairs(d, n=1, threshold=0.9, broadcast_tokens=True)
+    return connected_components(pairs).select("node", "comp")
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful window op: inactivity-gap sessionization of events per user
+    (lag → run-sum session ids → rollup); tie-break on event_id makes the
+    numbering total and cross-engine stable."""
+    from ndap_data_validator_spark.operators.sessions import session_rollup
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    s = session_rollup(
+        e, key_col="user_id", ts_col="ts", timeout_sec=3600,
+        order_tiebreak="event_id",
+    )
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "duration_sec",
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gate sampling: deterministic under any partitioning/engine
+    (pure function of the key; predicate pushdown applies — no shuffle)."""
+    from ndap_data_validator_spark.operators.sample import deterministic_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return deterministic_sample(o, "o_orderkey", 0.1, seed=7).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 def q_csv_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 raw-file form (the reference's entire ingestion is CSV,
     main.py:120-125): events round-tripped through a CSV copy, read back via
@@ -742,6 +787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_diff": q_except_diff,
         "drift_exact_ks": q_drift_exact_ks,
         "csv_events_rollup": q_csv_events_rollup,
+        "dedup_clusters": q_dedup_clusters,
+        "sessionization": q_sessionization,
+        "deterministic_sample": q_deterministic_sample,
         "minhash_candidates": q_minhash_candidates,
         "simhash_fingerprints": q_simhash_fingerprints,
         "knn_topk": q_knn_topk,
@@ -1038,6 +1086,59 @@ def oracle_sql() -> dict[str, str]:
       FROM cdf, t
     """
 
+    ngram_pairs_cte = r"""
+      s AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS ws
+        FROM documents WHERE doc_id < 120),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a, s b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.ws, b.ws))::DOUBLE
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9)
+    """
+    dedup_clusters = f"""
+      WITH RECURSIVE
+      {ngram_pairs_cte},
+      e AS (SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p),
+      n AS (SELECT DISTINCT src AS node FROM e),
+      reach(node, r) AS (
+        SELECT node, node FROM n
+        UNION
+        SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.node)
+      SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    """
+
+    sessionization = """
+      WITH o AS (SELECT user_id, event_id, ts,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+                 WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      g AS (SELECT user_id, event_id, ts, es,
+              CASE WHEN es - lag(es) OVER w IS NULL
+                        OR es - lag(es) OVER w > 3600
+                   THEN 1 ELSE 0 END AS is_new
+            FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, ts, es,
+              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            FROM g)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             MAX(es) - MIN(es) AS duration_sec
+      FROM s GROUP BY user_id, session_id
+    """
+
+    from ndap_data_validator_spark.operators.sample import sample_gate_sql
+
+    deterministic_sample_sql = f"""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE {sample_gate_sql('o_orderkey', 0.1, seed=7)}
+    """
+
     fingerprint_sql = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
 
     dedup_exact = f"""
@@ -1223,6 +1324,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk": knn_topk,
         "minhash_candidates": _minhash_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
+        "dedup_clusters": dedup_clusters,
+        "sessionization": sessionization,
+        "deterministic_sample": deterministic_sample_sql,
         "csv_events_rollup": """
           SELECT event_type,
                  CAST(COUNT(*) AS BIGINT) AS n_events,

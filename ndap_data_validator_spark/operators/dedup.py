@@ -289,6 +289,96 @@ def simhash_buckets(
     )
 
 
+# ----------------------------------------------------- connected components
+
+def connected_components(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERS from candidate/verified pairs: (node, component)
+    where component = the minimum node id reachable — the piece between
+    pair generation and keeper selection (keep ``node == component``, drop
+    the rest), standard in large-scale dedup pipelines.
+
+    Algorithm: iterative min-label propagation + POINTER JUMPING. Each round
+    (a) every node takes the min of its own and its neighbors' labels (one
+    join + one groupBy), then (b) chases its label one indirection
+    (comp := label(comp)) — path halving, so convergence is O(log diameter)
+    rounds, not O(diameter). Each round ends in ``localCheckpoint`` to
+    TRUNCATE plan lineage — without it Catalyst re-analyzes an
+    exponentially growing tree and the driver OOMs around round ~15 (the
+    standard iterative-DataFrame trap; a reliable checkpoint dir replaces
+    localCheckpoint when executor loss matters). Star-capped LSH output
+    (_bucket_pairs) keeps diameters tiny, so typical runs converge in 2-4
+    rounds.
+    """
+    fwd = pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
+    rev = pairs.select(F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        ptr = stepped.select(
+            F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped.comp == ptr.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def dedup_keepers(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster the near-dup pairs and keep one doc per component (the min
+    id) plus every unpaired doc — the final SELECT of a dedup pipeline."""
+    comp = connected_components(pairs, max_iterations=max_iterations)
+    losers = comp.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return all_ids.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------ n-gram Jaccard
 
 def ngram_jaccard_pairs(

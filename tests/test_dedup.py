@@ -174,3 +174,39 @@ def test_ngram_df_cap_exact_verify_scores(spark):
     # 'hot' (df=4) is dropped from candidate gen; pairs still found via
     # a/b and x/y, and their scores INCLUDE 'hot' (3/5 = 0.6)
     assert capped == exact == {(0, 1): 0.6, (2, 3): 0.6}
+
+
+# --------------------------------------------------- clusters / keepers
+
+
+def test_connected_components_basic(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comp = D.connected_components(pairs, max_iterations=40).collect()
+    assert {r["comp"] for r in comp} == {0}
+    assert len(comp) == n + 1
+
+
+def test_dedup_keepers(corpus):
+    pairs = D.ngram_jaccard_pairs(corpus, n=1, threshold=0.6,
+                                  broadcast_tokens=True)
+    kept = D.dedup_keepers(pairs, corpus.select("doc_id"))
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # docs 0/1/2 are (near-)identical → keep 0; 3 and 6 are near 0 at 0.6
+    assert 0 in ids and 4 in ids and 5 in ids
+    assert 1 not in ids and 2 not in ids

@@ -1,0 +1,59 @@
+"""Sessionization + deterministic hash-gate sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.operators.sample import deterministic_sample
+from ndap_data_validator_spark.operators.sessions import (
+    session_rollup,
+    sessionize,
+)
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, 0, "2026-01-01 00:00:00"),
+        (1, 1, "2026-01-01 00:10:00"),   # same session (gap 600 < 1800)
+        (1, 2, "2026-01-01 01:00:00"),   # new session (gap 3000)
+        (2, 3, "2026-01-01 00:00:00"),   # other key: own numbering
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts string").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    s = sessionize(df, timeout_sec=1800, order_tiebreak="event_id")
+    got = {r["event_id"]: r["session_id"] for r in s.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 0}
+
+
+def test_session_rollup_durations(spark):
+    rows = [(1, i, f"2026-01-01 00:0{i}:00") for i in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts string").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    r = session_rollup(df, timeout_sec=1800, order_tiebreak="event_id").first()
+    assert r["n_events"] == 3 and r["duration_sec"] == 120
+
+
+def test_deterministic_sample_stable_and_partition_independent(spark):
+    df = spark.range(20_000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in deterministic_sample(df, "k", 0.1, seed=7).collect()}
+    b = {
+        r["k"]
+        for r in deterministic_sample(
+            df.repartition(13), "k", 0.1, seed=7
+        ).collect()
+    }
+    assert a == b                       # partitioning-independent
+    assert 0.08 < len(a) / 20_000 < 0.12  # ~fraction
+    c = {r["k"] for r in deterministic_sample(df, "k", 0.1, seed=8).collect()}
+    assert a != c                       # seed changes the sample
+
+
+def test_sample_consistent_across_tables(spark):
+    """The same key samples in/out everywhere — sampled joins stay aligned."""
+    left = spark.range(5_000).select(F.col("id").alias("k"), F.lit("l").alias("s"))
+    right = spark.range(5_000).select(F.col("id").alias("k"), F.lit("r").alias("s"))
+    ls = deterministic_sample(left, "k", 0.2, seed=3)
+    rs = deterministic_sample(right, "k", 0.2, seed=3)
+    assert ls.count() == rs.count() == ls.join(rs, "k").count()
