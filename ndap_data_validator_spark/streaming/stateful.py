@@ -1,0 +1,126 @@
+"""Stateful streaming operators (engine extensions; SURVEY §2.10 — the
+reference has no streaming surface).
+
+Two shapes a transcript/event stream needs beyond per-batch validation:
+
+  * ``windowed_event_counts`` — watermark + tumbling-window counts: the
+    built-in late-data-tolerant aggregate. State is managed by Spark's
+    streaming aggregation operator; the watermark bounds it.
+  * ``sessionize_stream`` — custom stateful operator via Arrow-batched
+    ``applyInPandasWithState`` (the sanctioned escape hatch for semantics
+    the built-ins can't express): per-key inactivity-gap sessions whose
+    state is (session_start, last_ts, n_events). Closed sessions emit on
+    the batch that closes them; open sessions emit their current snapshot
+    (marked ``closed = false``) so downstream consumers can fold.
+
+Both are per-key bounded-state: memory is O(active keys), not O(events) —
+the property that matters on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, closed boolean"
+)
+_STATE_SCHEMA = "start_sec bigint, last_sec bigint, n_events bigint"
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts with late-data tolerance: rows later than the
+    watermark are dropped, windows finalize (and their state is evicted)
+    once the watermark passes — bounded state by construction."""
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def _sessionize_fn(timeout_sec: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_sec, last_sec, n_events = state.get
+        else:
+            start_sec = last_sec = None
+            n_events = 0
+
+        out_rows = []
+        secs: list[int] = []
+        for pdf in pdfs:
+            secs.extend(
+                int(v.timestamp()) for v in pd.to_datetime(pdf["ts"]) if pd.notna(v)
+            )
+        for sec in sorted(secs):
+            if last_sec is not None and sec - last_sec > timeout_sec:
+                out_rows.append((user_id, start_sec, last_sec, n_events, True))
+                start_sec, n_events = sec, 0
+            if start_sec is None:
+                start_sec = sec
+            last_sec = sec
+            n_events += 1
+
+        if last_sec is not None:
+            state.update((start_sec, last_sec, n_events))
+            out_rows.append((user_id, start_sec, last_sec, n_events, False))
+
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out_rows],
+                "session_start": pd.to_datetime(
+                    [r[1] for r in out_rows], unit="s"
+                ),
+                "session_end": pd.to_datetime([r[2] for r in out_rows], unit="s"),
+                "n_events": [r[3] for r in out_rows],
+                "closed": [r[4] for r in out_rows],
+            }
+        )
+
+    return fn
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    timeout_sec: int = 1800,
+) -> DataFrame:
+    """Custom stateful operator: per-key inactivity-gap sessions over a
+    stream. State per key is three longs — independent of event volume."""
+    events = stream_df.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    ).where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(timeout_sec),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
