@@ -43,10 +43,10 @@ def load_table(
     ``csv:/path`` (≙ the reference's raw-file input, main.py:120-125 —
     its entire ingestion is CSV from S3).
 
-    CSV notes: pass ``schema`` (DDL string) in production — ``inferSchema``
-    is a convenience fallback that costs an EXTRA full pass over the files,
-    which is unacceptable at 100 TB. Header on by default; override via
-    ``csv_options``."""
+    CSV/JSONL notes: pass ``schema`` (DDL string) in production — schema
+    inference costs an EXTRA full pass over the files, which is
+    unacceptable at 100 TB. CSV header on by default; override via
+    ``csv_options`` (also applied to the json reader)."""
     if sf_dir.startswith("iceberg:"):
         return spark.read.table(f"{sf_dir.removeprefix('iceberg:')}.{name}")
     if sf_dir.startswith("csv:"):
@@ -59,6 +59,14 @@ def load_table(
         else:
             reader = reader.option("inferSchema", "true")
         return reader.csv(os.path.join(base, f"{name}.csv"))
+    if sf_dir.startswith("jsonl:") or sf_dir.startswith("json:"):
+        base = sf_dir.split(":", 1)[1]
+        reader = spark.read
+        for k, v in (csv_options or {}).items():
+            reader = reader.option(k, v)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(os.path.join(base, f"{name}.jsonl"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

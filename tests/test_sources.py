@@ -100,3 +100,16 @@ def test_align_rejects_conflicting_cast(spark):
 
     with pytest.raises(ValueError, match="conflicting"):
         align_to_schema(df, target)
+
+
+def test_jsonl_scheme_roundtrip(spark, tmp_path):
+    base = str(tmp_path / "jsonldir")
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None)], "id bigint, s string, v double"
+    )
+    src.coalesce(1).write.mode("overwrite").json(f"{base}/t.jsonl")
+    got = load_table(
+        spark, f"jsonl:{base}", "t", schema="id bigint, s string, v double"
+    )
+    rows = {r["id"]: (r["s"], r["v"]) for r in got.collect()}
+    assert rows == {1: ("a", 1.5), 2: (None, None)}

@@ -83,6 +83,30 @@ def main() -> None:
             "from its runtime size; phase 2 exact-verifies on real keys.",
         ),
         (
+            "Sessionization (lag → run-sum → rollup)",
+            __import__(
+                "ndap_data_validator_spark.operators.sessions", fromlist=["s"]
+            ).session_rollup(
+                df.where(F.col("ts").isNotNull()),
+                key_col="conv_id", ts_col="ts", timeout_sec=600,
+                order_tiebreak="turn_idx",
+            ),
+            "ONE Exchange on the key; one Sort feeds BOTH windows (lag and "
+            "running sum share the ordering); the (key, session_id) rollup "
+            "aggregates with NO second exchange — HashPartitioning(key) "
+            "already satisfies the clustered distribution of the superset "
+            "group keys.",
+        ),
+        (
+            "Deterministic hash-gate sample (pure filter)",
+            __import__(
+                "ndap_data_validator_spark.operators.sample", fromlist=["s"]
+            ).deterministic_sample(df, "conv_id", 0.1, seed=7),
+            "The gate is a scan-level Filter — no shuffle, no sampling "
+            "operator state; partitioning/engine-independent by "
+            "construction.",
+        ),
+        (
             "Exact two-sample KS (distributed)",
             __import__(
                 "ndap_data_validator_spark.operators.drift", fromlist=["d"]
