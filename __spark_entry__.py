@@ -581,6 +581,53 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates via LSH self-buckets + a planted
+    clone — oracle-checked: DuckDB replays the hyperplane signatures
+    (seeded literals), the bucket self-join, and the cosine threshold."""
+    from ndap_data_validator_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    clone = emb.where(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(100_000).cast("long")
+    )
+    pairs = embedding_near_duplicates(
+        emb.unionByName(clone), dim=_ANN_DIM, threshold=0.95,
+        n_planes=_ANN_PLANES, n_tables=1, seed=42,
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing (pure Catalyst, oracle-checked):
+    (media_id, frame_ts_ms) explode that precedes a video decode kernel —
+    durations derived deterministically from doc_id."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    media = d.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("video").alias("kind"),
+        ((F.col("doc_id") % 5 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+    return multimodal.frame_sample_plan(media, every_ms=400)
+
+
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same linear
+    interpolation on sorted values); the engine's approx_percentile variant
+    is the scale path, exact is the oracle-checkable form."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.lit("l_extendedprice").alias("column"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
 def q_csv_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 raw-file form (the reference's entire ingestion is CSV,
     main.py:120-125): events round-tripped through a CSV copy, read back via
@@ -790,6 +837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sessionization": q_sessionization,
         "deterministic_sample": q_deterministic_sample,
+        "frame_sample_plan": q_frame_sample_plan,
+        "exact_percentiles": q_exact_percentiles,
+        "embedding_neardup": q_embedding_neardup,
         "minhash_candidates": q_minhash_candidates,
         "simhash_fingerprints": q_simhash_fingerprints,
         "knn_topk": q_knn_topk,
@@ -803,13 +853,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --------------------------------------------------------------- oracle SQL
 
-def _planes_sql() -> str:
+def _planes_sql(vec_expr: str = "embedding::DOUBLE[]") -> str:
     planes = hyperplanes(_ANN_DIM, _ANN_PLANES, seed=42)
     terms = []
     for i, p in enumerate(planes):
         arr = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
         terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) >= 0 "
             f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         )
     return " + ".join(terms)
@@ -1327,6 +1377,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup_clusters,
         "sessionization": sessionization,
         "deterministic_sample": deterministic_sample_sql,
+        "embedding_neardup": f"""
+          WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT CAST(100000 AS BIGINT), embedding::DOUBLE[]
+            FROM embeddings WHERE vec_id = 0),
+          sig AS (SELECT vec_id, v, CAST({_planes_sql('v')} AS BIGINT) AS b FROM e),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS cos
+                FROM sig a JOIN sig b ON a.b = b.b AND a.vec_id < b.vec_id)
+          SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.95
+        """,
+        "frame_sample_plan": """
+          SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+                 CAST(unnest(generate_series(0,
+                        GREATEST(CAST((doc_id % 5 + 1) * 1000 AS INT) - 1, 0),
+                        400)) AS BIGINT) AS frame_ts_ms
+          FROM documents WHERE doc_id < 50
+        """,
+        "exact_percentiles": """
+          SELECT 'l_extendedprice' AS "column",
+                 ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                 ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                 ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+          FROM lineitem
+        """,
         "csv_events_rollup": """
           SELECT event_type,
                  CAST(COUNT(*) AS BIGINT) AS n_events,
