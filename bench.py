@@ -139,10 +139,19 @@ def run_default() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        t0 = time.time()
         try:
+            t0 = time.time()
             _noop_write(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            t = time.time() - t0
+            if t > 30.0:
+                # shared-VM steal time occasionally stalls one run by 20×
+                # (observed: the same query 8s and 177s minutes apart);
+                # retry once and keep the min so a transient stall doesn't
+                # masquerade as a plan regression
+                t0 = time.time()
+                _noop_write(fn(spark, sf_dir))
+                t = min(t, time.time() - t0)
+            timings[name] = round(t, 3)
         except Exception as e:  # record, don't die
             timings[name] = -1.0
             print(f"# bench query {name} failed: {e}", file=sys.stderr)
