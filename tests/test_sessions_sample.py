@@ -57,3 +57,85 @@ def test_sample_consistent_across_tables(spark):
     ls = deterministic_sample(left, "k", 0.2, seed=3)
     rs = deterministic_sample(right, "k", 0.2, seed=3)
     assert ls.count() == rs.count() == ls.join(rs, "k").count()
+
+
+# ----------------------------------------------- property vs python oracles
+
+
+def test_sessionize_matches_python_oracle(spark):
+    """Seeded random events: Spark sessionization == a straightforward
+    per-key fold in Python."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    t = 1_700_000_000
+    for eid in range(800):
+        user = rng.randrange(6)
+        t += rng.choice([5, 60, 900, 2000, 4000])
+        rows.append((user, eid, t))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, sec long").select(
+        "user_id", "event_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in session_rollup(
+            df, timeout_sec=1800, order_tiebreak="event_id"
+        ).collect()
+    }
+
+    # python oracle: same fold
+    byuser: dict[int, list[tuple[int, int]]] = {}
+    for user, eid, sec in rows:
+        byuser.setdefault(user, []).append((sec, eid))
+    expected: dict[tuple[int, int], int] = {}
+    for user, evs in byuser.items():
+        evs.sort()
+        sid, last = -1, None
+        for sec, _ in evs:
+            if last is None or sec - last > 1800:
+                sid += 1
+            expected[(user, sid)] = expected.get((user, sid), 0) + 1
+            last = sec
+    assert got == expected
+
+
+def test_connected_components_matches_union_find(spark):
+    """Seeded random graph: min-label components == python union-find."""
+    import random
+
+    from ndap_data_validator_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    nodes = list(range(120))
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(90)
+        }
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    expected = {}
+    comp_min: dict[int, int] = {}
+    for n in sorted(touched):
+        comp_min.setdefault(find(n), n)
+    for n in touched:
+        expected[n] = comp_min[find(n)]
+    assert got == expected
