@@ -612,7 +612,9 @@ def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("video").alias("kind"),
         ((F.col("doc_id") % 5 + 1) * 1000).cast("int").alias("duration_ms"),
     )
-    return multimodal.frame_sample_plan(media, every_ms=400)
+    return multimodal.frame_sample_plan(media, every_ms=400).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
 
 
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
