@@ -783,13 +783,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: centroid-bucketed top-k (rows-only: iterative k-means-lite
-    isn't single-statement SQL)."""
+    """IVF ANN, oracle-checked in its verification configuration: md5
+    portable-hash seed centroids with lloyd_iterations=0 make the quantizer
+    a pure function DuckDB replays (seed selection → nearest-cell
+    assignment → probe → rounded rank). Production uses xxhash64 seeding +
+    Lloyd refinement — same plan shape, verified by the pytest recall and
+    planted-clone fixtures."""
     from ndap_data_validator_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     return ivf_topk(
-        emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=4
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=4,
+        lloyd_iterations=0, hash_fn="md5", round_digits=4,
     )
 
 
@@ -939,6 +946,52 @@ def _simhash_oracle_sql(seed: int = 42) -> str:
             FROM documents WHERE doc_id < 200),
       hh AS (SELECT doc_id, list_transform(toks, x -> {P('x', seed)}) AS h FROM t)
       SELECT doc_id, {vote_terms} AS simhash64 FROM hh
+    """
+
+
+def _ann_ivf_oracle_sql(
+    n_centroids: int = 8, n_probe: int = 4, k: int = 5, seed: int = 42
+) -> str:
+    """DuckDB replay of ivf_topk(lloyd_iterations=0, hash_fn='md5'):
+    seed-centroid selection, nearest-cell assignment (ties → smaller cell),
+    per-query cell probing, rounded-cosine rank within probed cells."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seeds AS (SELECT vec_id, v FROM e
+                ORDER BY {P('CAST(vec_id AS VARCHAR)', seed)} LIMIT {n_centroids}),
+      cents AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell_id,
+                       v AS centroid FROM seeds),
+      scored AS (SELECT e.vec_id, e.v, c.cell_id,
+                        {cos('e.v', 'c.centroid')} AS cc FROM e, cents c),
+      cells AS (SELECT vec_id, v, cell_id FROM (
+                  SELECT vec_id, v, cell_id,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY cc DESC, cell_id ASC) AS rn
+                  FROM scored) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      qs AS (SELECT q.query_id, q.qv, c.cell_id,
+                    {cos('q.qv', 'c.centroid')} AS qc FROM q, cents c),
+      probes AS (SELECT query_id, qv, cell_id FROM (
+                   SELECT query_id, qv, cell_id,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY qc DESC, cell_id ASC) AS rn
+                   FROM qs) WHERE rn <= {n_probe}),
+      cand AS (SELECT p.query_id, cells.vec_id,
+                      ROUND({cos('p.qv', 'cells.v')}, 4) AS cos
+               FROM probes p JOIN cells USING (cell_id)),
+      r AS (SELECT query_id, vec_id, cos,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+            FROM cand)
+      SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= {k}
     """
 
 
@@ -1379,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup_clusters,
         "sessionization": sessionization,
         "deterministic_sample": deterministic_sample_sql,
+        "ann_ivf": _ann_ivf_oracle_sql(),
         "embedding_neardup": f"""
           WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

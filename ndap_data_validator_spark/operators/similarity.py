@@ -152,16 +152,26 @@ def ivf_centroids(
     vec_col: str = "embedding",
     lloyd_iterations: int = 1,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """IVF coarse quantizer: deterministic pseudo-random seed centroids —
-    the ``n_centroids`` corpus vectors minimizing ``xxhash64(id, seed)``
+    the ``n_centroids`` corpus vectors minimizing ``hash(id, seed)``
     (TakeOrderedAndProject: a distributed top-k, no count job, no global
     sort, any id type) — refined by a few Lloyd iterations done as
     joins+groupBy — distributed k-means-lite, no driver-side data.
-    Returns (cell_id, centroid: array<double>)."""
+    Returns (cell_id, centroid: array<double>).
+
+    ``hash_fn='md5'`` (portable_hash64) with ``lloyd_iterations=0`` makes
+    the whole quantizer a pure SQL-expressible function — the configuration
+    the oracle-checked entry uses; production keeps xxhash64 + Lloyd."""
     from pyspark.sql import Window as W
 
-    order = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    if hash_fn == "md5":
+        from ndap_data_validator_spark.functions.porthash import portable_hash64
+
+        order = portable_hash64(F.col(id_col), seed=seed)
+    else:
+        order = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
     cents = (
         corpus.orderBy(order)
         .limit(n_centroids)
@@ -236,11 +246,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
+    lloyd_iterations: int = 1,
+    hash_fn: str = "xxhash64",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest cells per query,
     exact cosine rank within the probed cells only. Recall rises with
-    n_probe (n_probe = n_centroids ≡ brute force)."""
-    cents = centroids if centroids is not None else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    n_probe (n_probe = n_centroids ≡ brute force). ``round_digits`` ranks on
+    the rounded score (id tie-breaks) for cross-engine determinism."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            corpus, n_centroids, id_col, vec_col,
+            lloyd_iterations=lloyd_iterations, hash_fn=hash_fn,
+        )
+    )
     cells = assign_cells(corpus, cents, id_col, vec_col)
 
     q = queries.select(
@@ -259,10 +280,13 @@ def ivf_topk(
         .where(F.col("__r") <= n_probe)
         .select(query_id_col, "__qv", "cell_id")
     )
+    score = cosine(F.col("__qv"), F.col("__v"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
     cand = F.broadcast(q_cells).join(cells, on="cell_id").select(
         query_id_col,
         F.col(id_col),
-        cosine(F.col("__qv"), F.col("__v")).alias("cos"),
+        score.alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
