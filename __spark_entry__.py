@@ -547,6 +547,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("node", "comp")
 
 
+def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL select: one kept doc per near-dup cluster
+    (min id) plus every unpaired doc — anti-join against cluster losers."""
+    from ndap_data_validator_spark.operators.dedup import dedup_keepers
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    pairs = ngram_jaccard_pairs(d, n=1, threshold=0.9, broadcast_tokens=True)
+    return dedup_keepers(pairs, d.select("doc_id")).select("doc_id")
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful window op: inactivity-gap sessionization of events per user
     (lag → run-sum session ids → rollup); tie-break on event_id makes the
@@ -844,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_exact_ks": q_drift_exact_ks,
         "csv_events_rollup": q_csv_events_rollup,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keepers": q_dedup_keepers,
         "sessionization": q_sessionization,
         "deterministic_sample": q_deterministic_sample,
         "frame_sample_plan": q_frame_sample_plan,
@@ -1430,6 +1441,21 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _minhash_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
         "dedup_clusters": dedup_clusters,
+        "dedup_keepers": f"""
+          WITH RECURSIVE
+          {ngram_pairs_cte},
+          e AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b, id_a FROM p),
+          n AS (SELECT DISTINCT src AS node FROM e),
+          reach(node, r) AS (
+            SELECT node, node FROM n
+            UNION
+            SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.node),
+          comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+          losers AS (SELECT node FROM comp WHERE node != comp)
+          SELECT doc_id FROM documents
+          WHERE doc_id < 120 AND doc_id NOT IN (SELECT node FROM losers)
+        """,
         "sessionization": sessionization,
         "deterministic_sample": deterministic_sample_sql,
         "ann_ivf": _ann_ivf_oracle_sql(),

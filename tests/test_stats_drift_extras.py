@@ -102,3 +102,21 @@ def test_ks_exact_distributed_edge_cases(spark):
     shifted = spark.range(10).select(F.lit(7.0).alias("v"))
     r3 = ks_exact_distributed(const, shifted, "v").first()
     assert r3["ks"] == 1.0
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark):
+    """The scale path (approx_percentile) must track the exact interpolated
+    percentile within its accuracy bound on a realistic distribution."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(100000)) / 100.0).alias("v")
+    )
+    row = df.agg(
+        F.expr("percentile(v, 0.95)").alias("exact"),
+        F.expr("approx_percentile(v, 0.95, 10000)").alias("approx"),
+        F.expr("percentile(v, 0.5)").alias("exact50"),
+        F.expr("approx_percentile(v, 0.5, 10000)").alias("approx50"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+    assert abs(row["approx50"] - row["exact50"]) / row["exact50"] < 0.01
