@@ -547,6 +547,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("node", "comp")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over documents with injected spans (emails / IPs
+    / phones planted by doc_id so both engines see identical inputs);
+    oracle replays the same Java∩RE2 patterns and redaction order."""
+    from ndap_data_validator_spark.functions.pii import pii_count, redact_pii
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                """CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN ' contact a.b@example.com now'
+                     WHEN 1 THEN ' from 10.1.2.3 logged'
+                     WHEN 2 THEN ' call +1 (415) 555-0199 today'
+                     ELSE '' END"""
+            ),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    return injected.select(
+        "doc_id",
+        pii_count(t, "email").alias("n_emails"),
+        pii_count(t, "ipv4").alias("n_ipv4"),
+        pii_count(t, "phone").alias("n_phones"),
+        F.md5(redact_pii(t)).alias("redacted_md5"),
+    )
+
+
 def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's FINAL select: one kept doc per near-dup cluster
     (min id) plus every unpaired doc — anti-join against cluster losers."""
@@ -855,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_events_rollup": q_csv_events_rollup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keepers": q_dedup_keepers,
+        "pii_scrub": q_pii_scrub,
         "sessionization": q_sessionization,
         "deterministic_sample": q_deterministic_sample,
         "frame_sample_plan": q_frame_sample_plan,
@@ -957,6 +988,30 @@ def _simhash_oracle_sql(seed: int = 42) -> str:
             FROM documents WHERE doc_id < 200),
       hh AS (SELECT doc_id, list_transform(toks, x -> {P('x', seed)}) AS h FROM t)
       SELECT doc_id, {vote_terms} AS simhash64 FROM hh
+    """
+
+
+def _pii_scrub_oracle_sql() -> str:
+    from ndap_data_validator_spark.functions.pii import (
+        pii_count_sql,
+        redact_pii_sql,
+    )
+
+    return f"""
+      WITH d AS (
+        SELECT doc_id,
+               text || CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN ' contact a.b@example.com now'
+                 WHEN 1 THEN ' from 10.1.2.3 logged'
+                 WHEN 2 THEN ' call +1 (415) 555-0199 today'
+                 ELSE '' END AS text
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id,
+             CAST({pii_count_sql('text', 'email')} AS INT) AS n_emails,
+             CAST({pii_count_sql('text', 'ipv4')} AS INT) AS n_ipv4,
+             CAST({pii_count_sql('text', 'phone')} AS INT) AS n_phones,
+             md5({redact_pii_sql('text')}) AS redacted_md5
+      FROM d
     """
 
 
@@ -1458,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionization": sessionization,
         "deterministic_sample": deterministic_sample_sql,
+        "pii_scrub": _pii_scrub_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
         "embedding_neardup": f"""
           WITH e AS (

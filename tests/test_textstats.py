@@ -76,3 +76,37 @@ def test_text_features_single_projection(spark, docs):
     # one projection → no shuffle in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pii_counts_and_redaction(spark):
+    from pyspark.sql import functions as F
+
+    from ndap_data_validator_spark.functions.pii import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "write to jane.doe+x@sub.example.org or bob@ex.io"),
+            (1, "server 192.168.0.1 then 10.0.0.255 replied"),
+            (2, "call +1 (415) 555-0199 or 020 7946 0958 now"),
+            (3, "nothing sensitive here"),
+            (4, None),
+        ],
+        "id long, t string",
+    )
+    t = F.col("t")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_count(t, "email").alias("e"),
+            pii_count(t, "ipv4").alias("i"),
+            pii_count(t, "phone").alias("p"),
+            redact_pii(t).alias("red"),
+        ).collect()
+    }
+    assert rows[0]["e"] == 2 and "<EMAIL>" in rows[0]["red"]
+    assert "@" not in rows[0]["red"]
+    assert rows[1]["i"] == 2 and rows[1]["red"].count("<IP>") == 2
+    assert rows[2]["p"] >= 2 and "<PHONE>" in rows[2]["red"]
+    assert rows[3]["red"] == "nothing sensitive here"
+    assert rows[4]["red"] is None
