@@ -383,6 +383,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count_ws(c).alias("n_tokens_ws"),
         F.round(T.alpha_ratio(c), 4).alias("alpha_ratio"),
         F.round(T.stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(T.repetition_ratio(c, n=3), 4).alias("repetition_ratio"),
         T.fingerprint(c).alias("fingerprint"),
     )
 
@@ -1345,6 +1346,11 @@ def oracle_sql() -> dict[str, str]:
               THEN length(regexp_replace(text, '[^\p{{L}}]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha_ratio,
         ROUND(CASE WHEN len(toks) > 0
               THEN len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains({sw}, x)))::DOUBLE / len(toks) END, 4) AS stopword_ratio,
+        ROUND(CASE WHEN len(toks) - 2 <= 0 THEN NULL
+              ELSE 1.0 - len(list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))))::DOUBLE
+                   / (len(toks) - 2) END, 4) AS repetition_ratio,
         {fingerprint_sql} AS fingerprint
       FROM t
     """

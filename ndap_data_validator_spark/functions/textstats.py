@@ -83,6 +83,25 @@ def mean_word_length(col: Column) -> Column:
     ).otherwise(F.lit(None))
 
 
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Gopher/Dolma-style repetition signal: the fraction of word n-grams
+    that are DUPLICATES within the document — 1 − distinct/total over the
+    (non-distinct) n-gram sequence. 0 for clean prose, → 1 for looping
+    boilerplate; NULL when the doc has fewer than n words. Pure Catalyst
+    (transform + array_distinct), whole-stage codegen."""
+    toks = words(col)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(
+        k <= 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / k
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: long-enough, alphabetic, sane word
     lengths, some stopwords (fluent prose has them)."""

@@ -110,3 +110,27 @@ def test_pii_counts_and_redaction(spark):
     assert rows[2]["p"] >= 2 and "<PHONE>" in rows[2]["red"]
     assert rows[3]["red"] == "nothing sensitive here"
     assert rows[4]["red"] is None
+
+
+def test_repetition_ratio(spark):
+    from pyspark.sql import functions as F
+
+    from ndap_data_validator_spark.functions.textstats import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),          # maximal repetition
+            (1, "the quick brown fox jumps over dogs"),    # all distinct
+            (2, "a b"),                                    # < n words -> NULL
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: r["rr"]
+        for r in df.select(
+            "id", repetition_ratio(F.col("t"), n=3).alias("rr")
+        ).collect()
+    }
+    assert rows[1] == 0.0
+    assert rows[2] is None
+    assert rows[0] == 1.0 - 1.0 / 4  # 4 trigrams, 1 distinct
