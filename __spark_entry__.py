@@ -795,10 +795,16 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads through the Arrow-batched
-    mapInPandas feature extractor (deterministic stub kernel).
+    mapInPandas feature extractor — now FULLY oracle-checked: the stub
+    kernel is sha256-derived exact dyadic doubles (int/2^32), so DuckDB
+    replays the whole feature vector with sha256 + hex-slice arithmetic
+    (payload = UTF-8 bytes of the sha2-hex string, h = sha256(payload),
+    feature_i = int(h[4(i mod 8)..+4])/2^32 — the 32-byte digest tiles a
+    16-dim vector with period 8).
 
-    The array<float> feature vector is projected to a rounded CSV string so
-    the harness canonicalizer (pandas sort/hash) gets hashable scalars."""
+    Features are projected to a fixed-point CSV string (DECIMAL(12,6) cast,
+    identical rendering both engines) so the harness canonicalizer gets one
+    hashable scalar."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     media = d.select(
         F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_id"),
@@ -817,7 +823,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
             F.transform(
                 F.col("features"),
-                lambda x: F.format_number(x.cast("double"), 6),
+                lambda x: x.cast("decimal(12,6)").cast("string"),
             ),
         ).alias("features_csv"),
     )
@@ -895,11 +901,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash_fingerprints": q_simhash_fingerprints,
         "knn_topk": q_knn_topk,
-        # rows-only (no SQL oracle: HLL estimates can't byte-match another
-        # engine; media features ride a UDF kernel; IVF is iterative k-means)
-        "hll_distinct": q_hll_distinct,
         "media_features": q_media_features,
         "ann_ivf": q_ann_ivf,
+        # rows-only (no SQL oracle: HLL estimates can't byte-match another
+        # engine)
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -1541,6 +1547,23 @@ def oracle_sql() -> dict[str, str]:
                         GREATEST(CAST((doc_id % 5 + 1) * 1000 AS INT) - 1, 0),
                         400)) AS BIGINT) AS frame_ts_ms
           FROM documents WHERE doc_id < 50
+        """,
+        # replays the deterministic stub kernel (multimodal._fake_features):
+        # payload = UTF-8 bytes of sha2(text,256) hex → h = sha256(payload)
+        # (DuckDB sha256(varchar) hashes the same bytes); feature_i =
+        # int(h[4(i%8)..+4]) / 2^32 — exact dyadic doubles in both engines,
+        # rendered DECIMAL(12,6) → identical CSV strings
+        "media_features": """
+          SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                 CAST(64 AS INT) AS n_bytes,
+                 array_to_string(
+                   list_transform(range(0, 16), i ->
+                     CAST(CAST(CAST('0x' || substr(h, 1 + 8*(i % 8), 8) AS BIGINT)
+                               / 4294967296.0 AS DECIMAL(12,6)) AS VARCHAR)),
+                   ',') AS features_csv
+          FROM (SELECT doc_id, sha256(sha256(text)) AS h
+                FROM documents WHERE doc_id < 100)
         """,
         "exact_percentiles": """
           SELECT 'l_extendedprice' AS "column",

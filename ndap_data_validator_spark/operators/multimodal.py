@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -53,7 +53,10 @@ _FEATURE_FIELDS = [
     StructField("media_id", StringType(), False),
     StructField("kind", StringType(), True),
     StructField("n_bytes", IntegerType(), True),
-    StructField("features", ArrayType(FloatType()), True),
+    # double, not float: the kernel emits int/2^32 — an exact dyadic double;
+    # declaring float32 here would lossily round-trip through Arrow and make
+    # the values engine-unreplayable (the oracle computes the exact double)
+    StructField("features", ArrayType(DoubleType()), True),
 ]
 FEATURE_SCHEMA = StructType(_FEATURE_FIELDS)
 

@@ -114,11 +114,21 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Approximate top-k: union of per-table bucket joins, then exact cosine
     rank within candidates. Recall grows with n_tables; cost stays
     bucket-local. The corpus signature computation is one projection — at
-    100 TB it would be precomputed and stored as an index column."""
+    100 TB it would be precomputed and stored as an index column.
+
+    ``max_bucket_size`` caps the corpus members any single bucket can
+    contribute: a flood of (near-)identical embeddings — the common case
+    after a crawl dedup miss — would otherwise put |Q_bucket|·|C_bucket|
+    pairs into one join cell. Oversized buckets keep the ``max_bucket_size``
+    members with the smallest xxhash64(id) (deterministic, unbiased by
+    insertion order); the dropped members are near-duplicates of the kept
+    ones by construction, so top-k recall degrades gracefully. ``None``
+    disables the cap."""
     per_table = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + 1000 * t)
@@ -127,6 +137,15 @@ def lsh_topk(
             F.col(vec_col).alias("__cv"),
             lsh_signature(F.col(vec_col), planes).alias("__bucket"),
         )
+        if max_bucket_size is not None:
+            wb = Window.partitionBy("__bucket").orderBy(
+                F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
+            )
+            csig = (
+                csig.withColumn("__r", F.row_number().over(wb))
+                .where(F.col("__r") <= max_bucket_size)
+                .drop("__r")
+            )
         qsig = F.broadcast(
             queries.select(
                 F.col(id_col).alias(query_id_col),
@@ -301,31 +320,42 @@ def embedding_near_duplicates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, found via LSH
-    self-buckets (no full pairwise pass)."""
+    self-buckets (no full pairwise pass).
+
+    The self-join is SKEW-CAPPED via the same star-pair degradation the
+    text-dedup side uses (``dedup._bucket_pairs``): a bucket of 10^3
+    identical embeddings — routine after a crawl dedup miss — would
+    otherwise put 10^6 pairs in one join cell. Buckets over
+    ``max_bucket_size`` degrade to O(n) anchor-star pairs, preserving
+    connectivity for downstream clustering. Candidate pairs carry only ids;
+    vectors are joined back afterwards, so the bucket shuffle moves 16-byte
+    keys, not embeddings."""
+    from ndap_data_validator_spark.operators.dedup import _bucket_pairs
+
     per_table = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-        sig = df.select(
+        banded = df.select(
             F.col(id_col),
-            F.col(vec_col).alias("__v"),
             lsh_signature(F.col(vec_col), planes).alias("__bucket"),
         )
-        a = sig.select(
-            F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bucket"
-        )
-        b = sig.select(
-            F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
-        )
         per_table.append(
-            a.join(b, "__bucket").where(F.col("id_a") < F.col("id_b")).drop("__bucket")
+            _bucket_pairs(
+                banded, id_col, ["__bucket"], ("id_a", "id_b"), max_bucket_size
+            )
         )
     cands = per_table[0]
     for other in per_table[1:]:
         cands = cands.unionByName(other)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        cands.dropDuplicates(["id_a", "id_b"])
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos")
         )

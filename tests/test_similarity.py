@@ -125,3 +125,70 @@ def test_brute_force_round_rank_deterministic(emb):
     a = S.brute_force_topk(emb, q, k=5, round_digits=4).collect()
     b = S.brute_force_topk(emb, q, k=5, round_digits=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_embedding_neardup_bucket_cap_star_degrades(spark):
+    """1k identical vectors (one giant LSH bucket) must NOT explode into
+    ~500k pairs: with max_bucket_size below the flood size the bucket
+    degrades to O(n) star pairs around the min-id anchor, preserving
+    connectivity (every member reachable from the anchor)."""
+    n = 1000
+    flood = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0), F.lit(2.0), F.lit(3.0), F.lit(4.0)]).alias(
+            "embedding"
+        ),
+    )
+    pairs = S.embedding_near_duplicates(
+        flood, dim=4, threshold=0.95, n_planes=8, n_tables=2,
+        max_bucket_size=32,
+    ).collect()
+    # star degradation: exactly n-1 pairs, all anchored at the min id
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 for r in pairs)
+    assert {r["id_b"] for r in pairs} == set(range(1, n))
+    assert all(abs(r["cos"] - 1.0) < 1e-9 for r in pairs)
+
+
+def test_embedding_neardup_small_buckets_unchanged_by_cap(spark, emb):
+    """Below the cap, capped and uncapped runs are pair-for-pair identical
+    (the planted-clone fixture shape)."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).limit(120)
+    clone = base.where(F.col("vec_id") == base.agg(F.min("vec_id")).collect()[0][0])
+    clone = clone.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    data = base.unionByName(clone)
+    kw = dict(dim=len(data.first()["embedding"]), threshold=0.95, n_planes=8,
+              n_tables=2)
+    capped = {(r["id_a"], r["id_b"]) for r in
+              S.embedding_near_duplicates(data, max_bucket_size=512, **kw).collect()}
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                S.embedding_near_duplicates(data, max_bucket_size=10**9, **kw).collect()}
+    assert capped == uncapped and len(capped) >= 1
+
+
+def test_lsh_topk_bucket_cap_bounds_candidates(spark):
+    """Corpus flood of identical vectors: with the per-bucket corpus cap the
+    candidate set any query joins against is ≤ cap·n_tables, yet top-k still
+    returns k exact-cosine-ranked rows."""
+    n, cap, k = 1000, 32, 5
+    flood = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0), F.lit(0.5), F.lit(-1.0), F.lit(2.0)]).alias(
+            "embedding"
+        ),
+    )
+    q = flood.where(F.col("vec_id") < 2)
+    out = S.lsh_topk(flood, q, dim=4, k=k, n_planes=8, n_tables=2,
+                     max_bucket_size=cap)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1}
+    for qrows in per_q.values():
+        assert len(qrows) == k
+        assert all(abs(r["cos"] - 1.0) < 1e-9 for r in qrows)
+    # candidate bound: ranks only go as deep as the capped bucket allows
+    assert out.count() <= 2 * k
