@@ -179,7 +179,14 @@ def ks_exact_distributed(
     frame, not data-sized). The range id is a DETERMINISTIC function of the
     value (``width_bucket`` over the observed min/max), never
     ``spark_partition_id`` — re-executions and task retries always agree on
-    which slice a value belongs to. Returns a 1-row DataFrame (ks, n_a, n_b).
+    which slice a value belongs to.
+
+    Returns a 1-row MATERIALIZED DataFrame (ks, n_a, n_b) — eager by design
+    so the per-value-counts cache is always released before returning
+    (ADVICE r02: the old lazy return leaked one persisted frame per call).
+    Contract when a side is empty: ks is NULL (a KS statistic between an
+    empty and a non-empty sample is undefined); n_a/n_b report the sizes so
+    callers can distinguish the cases. Both sides empty → ks = 0.0, n = 0.
     """
     a = (
         baseline_df.where(F.col(column).isNotNull())
@@ -196,17 +203,45 @@ def ks_exact_distributed(
     # far smaller than the input) are persisted and every later step — the
     # min/max for the range grid, per-slice totals, the CDF window and the
     # final max — reads the cached reduction, never the source again.
+    spark = union.sparkSession
+    out_schema = "ks double, n_a long, n_b long"
     base_counts = (
         union.groupBy("v")
         .agg(F.sum("__a").alias("a_cnt"), F.sum("__b").alias("b_cnt"))
         .persist()
     )
+    try:
+        return _ks_from_counts(
+            spark, base_counts, num_range_partitions, out_schema
+        )
+    finally:
+        base_counts.unpersist()
+
+
+def _ks_from_counts(
+    spark, base_counts: DataFrame, num_range_partitions: int, out_schema: str
+) -> DataFrame:
+    row = _ks_agg_plan(base_counts, num_range_partitions)
+    if row is None:  # both sides empty
+        return spark.createDataFrame([(0.0, 0, 0)], out_schema)
+    row = row.first()
+    # one side empty → division by zero yields NULL: surface it as the
+    # documented explicit contract, not an accident of SQL null semantics
+    ks = row["ks"] if (row["n_a"] > 0 and row["n_b"] > 0) else None
+    return spark.createDataFrame(
+        [(ks, int(row["n_a"]), int(row["n_b"]))], out_schema
+    )
+
+
+def _ks_agg_plan(
+    base_counts: DataFrame, num_range_partitions: int
+) -> DataFrame | None:
+    """The LAZY distributed KS aggregate over per-value counts (the plan
+    tools/dump_plans.py documents); None when both sides are empty."""
     mm = base_counts.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
     lo, hi = mm["lo"], mm["hi"]
     if lo is None:  # both sides empty
-        return union.sparkSession.createDataFrame(
-            [(0.0, 0, 0)], "ks double, n_a long, n_b long"
-        )
+        return None
     if lo == hi:
         hi = lo + 1.0
     # equal-width range id — even a skewed value distribution only unbalances
@@ -242,18 +277,15 @@ def ks_exact_distributed(
     grand = totals.agg(
         F.sum("pa").alias("n_a"), F.sum("pb").alias("n_b")
     )
-    return (
-        cdf.crossJoin(F.broadcast(grand))
-        .agg(
-            F.max(
-                F.abs(
-                    F.col("ca").cast("double") / F.col("n_a")
-                    - F.col("cb").cast("double") / F.col("n_b")
-                )
-            ).alias("ks"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
+    return cdf.crossJoin(F.broadcast(grand)).agg(
+        F.max(
+            F.abs(
+                F.col("ca").cast("double") / F.col("n_a")
+                - F.col("cb").cast("double") / F.col("n_b")
+            )
+        ).alias("ks"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
     )
 
 

@@ -120,3 +120,38 @@ def test_approx_percentile_within_tolerance_of_exact(spark):
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
     assert abs(row["approx50"] - row["exact50"]) / row["exact50"] < 0.01
+
+
+def test_exact_percentiles_distributed_matches_percentile(spark):
+    """Distributed CDF order-statistic selection ≡ Spark's single-buffer
+    percentile() (linear interpolation), including heavy duplicates and both
+    odd/even counts."""
+    from ndap_data_validator_spark.operators.stats import (
+        exact_percentiles_distributed,
+    )
+
+    for n in (101, 100, 7):
+        df = spark.range(n).select(
+            ((F.col("id") * 37) % 11).cast("double").alias("x")  # duplicates
+        )
+        ps = (0.5, 0.95, 0.99, 0.25)
+        got = exact_percentiles_distributed(df, "x", ps=ps).first()
+        ref = df.agg(
+            F.expr("percentile(x, array(0.5, 0.95, 0.99, 0.25))").alias("q")
+        ).first()["q"]
+        for name, expect in zip(("p50", "p95", "p99", "p25"), ref):
+            assert abs(got[name] - expect) < 1e-9, (n, name, got[name], expect)
+
+
+def test_exact_percentiles_distributed_empty_and_constant(spark):
+    from ndap_data_validator_spark.operators.stats import (
+        exact_percentiles_distributed,
+    )
+
+    empty = spark.range(5).select(F.lit(None).cast("double").alias("x"))
+    row = exact_percentiles_distributed(empty, "x", ps=(0.5,)).first()
+    assert row["p50"] is None
+
+    const = spark.range(9).select(F.lit(3.5).alias("x"))
+    row = exact_percentiles_distributed(const, "x", ps=(0.5, 0.99)).first()
+    assert row["p50"] == 3.5 and row["p99"] == 3.5

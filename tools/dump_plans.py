@@ -36,6 +36,36 @@ def fmt(df, max_lines: int = 60) -> str:
     return "\n".join(buf.getvalue().splitlines()[:max_lines])
 
 
+def _ks_lazy_plan(df):
+    """Rebuild the lazy KS aggregate (per-value counts → _ks_agg_plan) the
+    way ks_exact_distributed does internally, without executing it."""
+    from ndap_data_validator_spark.operators.drift import _ks_agg_plan
+
+    a = df.where(F.col("turn_idx") % 2 == 0).select(
+        F.col("turn_idx").cast("double").alias("v"),
+        F.lit(1).alias("__a"), F.lit(0).alias("__b"),
+    )
+    b = df.where(F.col("turn_idx") % 2 == 1).select(
+        F.col("turn_idx").cast("double").alias("v"),
+        F.lit(0).alias("__a"), F.lit(1).alias("__b"),
+    )
+    counts = a.unionByName(b).groupBy("v").agg(
+        F.sum("__a").alias("a_cnt"), F.sum("__b").alias("b_cnt")
+    )
+    return _ks_agg_plan(counts, 32)
+
+
+def _decontam(spark, df):
+    from ndap_data_validator_spark.operators.decontaminate import (
+        benchmark_ngram_hashes,
+        decontaminate,
+    )
+
+    docs = df.select(F.col("conv_id").alias("doc_id"), F.col("text"))
+    bench = docs.limit(50)
+    return decontaminate(docs, benchmark_ngram_hashes(bench, n=5), n=5)
+
+
 def main() -> None:
     spark = get_spark(app_name="dump-plans", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -108,24 +138,39 @@ def main() -> None:
         ),
         (
             "Exact two-sample KS (distributed)",
-            __import__(
-                "ndap_data_validator_spark.operators.drift", fromlist=["d"]
-            ).ks_exact_distributed(
-                df.where(F.col("turn_idx") % 2 == 0),
-                df.where(F.col("turn_idx") % 2 == 1),
-                "turn_idx",
-            ),
+            _ks_lazy_plan(df),
             "groupBy(value) partial counts → window partitioned by the "
             "deterministic range id (each task sorts one slice) → broadcast "
             "offsets → max |ΔCDF|. The only single-partition window is over "
             "the ≤33 per-slice totals — partition-count-sized, never "
-            "data-sized.",
+            "data-sized. (The public ks_exact_distributed materializes this "
+            "plan eagerly so its per-value-counts cache is always released.)",
         ),
         (
             "Referential integrity (broadcast anti-join)",
             ri_violations(df, "tool", tool_catalog(spark), "tool_id"),
             "Dimension broadcast → BroadcastHashJoin LeftAnti; the fact side "
             "never shuffles.",
+        ),
+        (
+            "Benchmark decontamination (n-gram collision)",
+            _decontam(spark, df),
+            "The benchmark's distinct n-gram hash set is BROADCAST (eval "
+            "suites are MBs); the corpus side is one projection (tokenize → "
+            "n-gram → hash) + explode + a single groupBy(doc) with map-side "
+            "partial aggregation — the shuffle carries (doc_id, two longs), "
+            "never text. No corpus-sized join state anywhere.",
+        ),
+        (
+            "Stratified hash-gate sample (pure filter)",
+            __import__(
+                "ndap_data_validator_spark.operators.sample", fromlist=["s"]
+            ).stratified_sample(
+                df, "role", {"user": 0.5, "assistant": 0.1}, "conv_id", seed=3
+            ),
+            "Per-stratum integer thresholds fold into ONE scan-level Filter "
+            "(CASE over the rate map + the hash gate) — no shuffle, no "
+            "sampling state, pushdown applies.",
         ),
     ]
 
