@@ -67,6 +67,7 @@ def run_validation(
     schema_name: str | None = None,
     load_mode: str = "new",
     watermark_col: str | None = None,
+    compact_max_files: int | None = 256,
 ) -> RunOutcome:
     """Checkpointed validation run.
 
@@ -76,11 +77,23 @@ def run_validation(
                               for (run_id, rule_digest).
       * ``full_reload``     — ignore completions; validate everything.
       * ``delta``           — incremental: only rows with ``watermark_col``
-                              ABOVE the stored high-watermark are validated;
-                              their partitions' report rows overwrite (dynamic
-                              partition overwrite), so the report directory
-                              folds prior + new partitions; the new max is
-                              recorded after the run.
+                              ABOVE the stored high-watermark are validated.
+                              Report/publish rows are keyed by (partition_id,
+                              delta_batch) where delta_batch is a DETERMINISTIC
+                              hash of the watermark interval's lower bound:
+                              prior batches' rows are never touched (the r02
+                              ADVICE clobber — a second intra-day batch landing
+                              in an already-published partition used to replace
+                              the whole partition with just the delta slice),
+                              while a RETRY of the same interval gets the same
+                              batch key and dynamically overwrites only its own
+                              rows — idempotent across crashes. The watermark
+                              only advances when EVERY partition of the batch
+                              passed; a failed batch keeps the old watermark, so
+                              the next delta run re-picks the same rows (plus
+                              newer arrivals — same lower bound ⇒ same batch
+                              key ⇒ clean replace) and failed rows are never
+                              silently skipped.
       * ``structure_change``— full re-validate after a schema change (read
                               the source with mergeSchema; the rule digest
                               already invalidates completions when
@@ -95,6 +108,7 @@ def run_validation(
 
     key = partition_key(partition_by)
 
+    delta_batch: str | None = None
     if load_mode == "delta":
         if watermark_col is None:
             raise ValueError("delta load_mode requires watermark_col")
@@ -102,6 +116,15 @@ def run_validation(
         if last_wm is not None:
             wm_type = dict(df.dtypes)[watermark_col]
             df = df.where(F.col(watermark_col) > F.lit(last_wm).cast(wm_type))
+        # batch identity = the interval's LOWER bound: a retry of the same
+        # interval (watermark unchanged after a failure) reuses the key and
+        # replaces only its own output rows; an advanced watermark mints a
+        # new key, so prior batches' published rows are never overwritten
+        import hashlib as _hashlib
+
+        delta_batch = "b" + _hashlib.md5(
+            str(last_wm).encode("utf-8")
+        ).hexdigest()[:12]
 
     if load_mode in ("full_reload", "structure_change"):
         done: set[str] = set()
@@ -114,24 +137,31 @@ def run_validation(
         remaining, assignments, partition_by=key, order_by=order_by
     )
 
-    if report_path is not None:
+    # In delta mode every output dir gains a delta_batch partition level:
+    # incremental batches ACCUMULATE (append semantics) while any retry of
+    # the same batch still gets overwrite-grade idempotency.
+    part_cols = (
+        ["partition_id"] if delta_batch is None else ["partition_id", "delta_batch"]
+    )
+
+    def _write_partitioned(frame: DataFrame, path: str) -> None:
         # Dynamic partition overwrite → re-validating a partition replaces
         # its rows; a re-run after crash is idempotent. The mode is pinned on
         # the WRITER (not session config) so the contract holds even with a
         # caller-supplied vanilla SparkSession — static overwrite would wipe
         # already-done partitions' reports on resume.
+        if delta_batch is not None:
+            frame = frame.withColumn("delta_batch", F.lit(delta_batch))
         (
-            result.per_column_report.write.mode("overwrite")
+            frame.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("partition_id")
-            .parquet(f"{report_path}/per_column")
+            .partitionBy(*part_cols)
+            .parquet(path)
         )
-        (
-            result.violations.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("partition_id")
-            .parquet(f"{report_path}/violations")
-        )
+
+    if report_path is not None:
+        _write_partitioned(result.per_column_report, f"{report_path}/per_column")
+        _write_partitioned(result.violations, f"{report_path}/violations")
 
     # Checkpoint metrics are assembled DISTRIBUTED: per-column stats fold to
     # a map per partition, join the summary, and to_json builds the record —
@@ -182,21 +212,40 @@ def run_validation(
         passed_parts = result.summary.where(F.col("passed")).select(
             "partition_id"
         )
-        (
-            remaining.withColumn("partition_id", key)
-            .join(passed_parts, "partition_id", "left_semi")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("partition_id")
-            .parquet(publish_path)
+        _write_partitioned(
+            remaining.withColumn("partition_id", key).join(
+                passed_parts, "partition_id", "left_semi"
+            ),
+            publish_path,
         )
 
     if load_mode == "delta" and watermark_col is not None:
-        new_wm = remaining.agg(
-            F.max(F.col(watermark_col)).cast("string").alias("wm")
-        ).first()["wm"]
-        if new_wm is not None:
-            store.record_watermark(watermark_col, new_wm)
+        # Advance the watermark ONLY when no partition of this batch had
+        # DATA failures (r02 ADVICE: unconditional advance permanently
+        # skipped failed-and-unpublished rows). A failed batch keeps the old
+        # watermark: the next delta run re-picks the same rows under the
+        # SAME batch key, so the retry replaces this batch's partial output
+        # instead of duplicating it. The gate is failed_count (per-column
+        # data failures), NOT summary.passed: a missing mandatory ROLE is a
+        # catalog-configuration condition that is identical on every retry —
+        # freezing the watermark on it would wedge delta mode forever while
+        # the publish gate already withholds those rows. The max is computed
+        # over the full batch slice (`df` after the watermark filter), not
+        # the resume remainder.
+        fold = (
+            df.agg(F.max(F.col(watermark_col)).cast("string").alias("wm"))
+            .crossJoin(
+                result.summary.agg(
+                    F.coalesce(
+                        F.sum((F.col("failed_count") > 0).cast("int")),
+                        F.lit(0),
+                    ).alias("n_failed")
+                )
+            )
+            .first()
+        )
+        if fold["n_failed"] == 0 and fold["wm"] is not None:
+            store.record_watermark(watermark_col, fold["wm"])
 
     # passed_all folds over every partition recorded for this run — the
     # resumed half plus previously-done ones (main.py:926-936 semantics).
@@ -212,6 +261,12 @@ def run_validation(
         ).alias("all_passed"),
     ).first()
     passed_all = bool(fold["n"] > 0 and fold["all_passed"])
+
+    # keep the store's file count O(1) across 10^4 runs (each run appends
+    # ~2 small files); single-writer at end-of-run, so the non-atomic swap
+    # window documented on compact() cannot race a concurrent committer
+    if compact_max_files is not None:
+        store.maybe_compact(compact_max_files)
 
     return RunOutcome(
         run_id=run_id,

@@ -154,6 +154,14 @@ MINI_ASSIGNS = [
     ColumnAssignment("m", "Measures", "float"),
 ]
 
+# role-complete set (publish requires summary.passed, which needs the
+# mandatory Time role assigned)
+PUB_ASSIGNS = [
+    ColumnAssignment("part", "Others"),
+    ColumnAssignment("t", "Time"),
+    ColumnAssignment("m", "Measures", "float"),
+]
+
 
 def test_delta_load_mode_incremental_equals_full(spark, tmp_path):
     """VERDICT r01 #5: a delta run over appended data validates ONLY the new
@@ -179,7 +187,8 @@ def test_delta_load_mode_incremental_equals_full(spark, tmp_path):
         checkpoint_path=str(tmp_path / "ckpt2"),
         report_path=str(tmp_path / "rep2"), load_mode="full_reload",
     )
-    a = spark.read.parquet(f"{rep}/per_column")
+    # delta-mode report dirs carry the batch key; the fold ignores it
+    a = spark.read.parquet(f"{rep}/per_column").drop("delta_batch")
     b = spark.read.parquet(str(tmp_path / "rep2/per_column"))
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
@@ -215,3 +224,166 @@ def test_full_reload_ignores_completions(spark, tmp_path):
     )
     assert out2.skipped_partitions == []
     assert out2.processed_partitions == out1.processed_partitions
+
+
+def test_delta_batch_into_existing_partition_preserves_publish(spark, tmp_path):
+    """ADVICE r02 (high): a delta batch landing in an ALREADY-PUBLISHED
+    partition must not replace that partition's published rows with just the
+    delta slice — batches accumulate under distinct delta_batch keys."""
+    ckpt = str(tmp_path / "ckpt")
+    pub = str(tmp_path / "pub")
+    rep = str(tmp_path / "rep")
+    df1 = spark.createDataFrame(
+        [(f"p{i % 2}", i, float(i), "2021") for i in range(100)],
+        "part string, seq long, m double, t string",
+    )
+    run_validation(
+        spark, df1, PUB_ASSIGNS, "part", checkpoint_path=ckpt,
+        report_path=rep, publish_path=pub,
+        load_mode="delta", watermark_col="seq",
+    )
+    assert spark.read.parquet(pub).count() == 100
+
+    # second intra-day batch: 40 MORE rows for the SAME partitions p0/p1
+    both = df1.unionByName(
+        spark.createDataFrame(
+            [(f"p{i % 2}", i, float(i), "2021") for i in range(100, 140)],
+            "part string, seq long, m double, t string",
+        )
+    )
+    out2 = run_validation(
+        spark, both, PUB_ASSIGNS, "part", checkpoint_path=ckpt,
+        report_path=rep, publish_path=pub,
+        load_mode="delta", watermark_col="seq",
+    )
+    assert sorted(out2.processed_partitions) == ["p0", "p1"]
+    published = spark.read.parquet(pub)
+    # 100 original + 40 delta rows all present — nothing clobbered
+    assert published.count() == 140
+    assert published.select("seq").distinct().count() == 140
+    # report rows accumulated per batch (2 batches × 2 partitions × 2 cols)
+    repdf = spark.read.parquet(f"{rep}/per_column")
+    assert repdf.select("delta_batch").distinct().count() == 2
+
+
+def test_delta_retry_same_batch_is_idempotent(spark, tmp_path):
+    """A failed/retried batch reuses its watermark-derived batch key, so the
+    retry REPLACES the prior attempt's published rows instead of duplicating
+    them."""
+    ckpt = str(tmp_path / "ckpt")
+    pub = str(tmp_path / "pub")
+    df1 = spark.createDataFrame(
+        [("p0", i, float(i), "2021") for i in range(50)],
+        "part string, seq long, m double, t string",
+    )
+    run_validation(
+        spark, df1, PUB_ASSIGNS, "part", checkpoint_path=ckpt,
+        publish_path=pub, load_mode="delta", watermark_col="seq",
+    )
+    store = CheckpointStore(spark, ckpt)
+    wm_before = store.last_watermark("seq")
+
+    # simulate a retry of the SAME interval: wind the watermark back by
+    # re-recording the initial state is not possible (append-only), so run
+    # the same batch again against a fresh store pointing at the same pub —
+    # same lower bound (None) → same batch key → dynamic overwrite replaces
+    ckpt2 = str(tmp_path / "ckpt2")
+    run_validation(
+        spark, df1, PUB_ASSIGNS, "part", checkpoint_path=ckpt2,
+        publish_path=pub, load_mode="delta", watermark_col="seq",
+    )
+    assert spark.read.parquet(pub).count() == 50  # replaced, not doubled
+    assert CheckpointStore(spark, ckpt2).last_watermark("seq") == wm_before
+
+
+def test_delta_watermark_not_advanced_on_failure(spark, tmp_path):
+    """ADVICE r02 (medium): a failed delta batch must NOT advance the
+    watermark — its rows stay above the watermark and are re-validated by
+    the next delta run instead of being permanently skipped."""
+    assigns = [
+        ColumnAssignment("part", "Location"),
+        ColumnAssignment("m", "Measures", "float", min_value=0),
+    ]
+    ckpt = str(tmp_path / "ckpt")
+    good = spark.createDataFrame(
+        [("p0", i, float(i)) for i in range(20)],
+        "part string, seq long, m double",
+    )
+    run_validation(
+        spark, good, assigns, "part", checkpoint_path=ckpt,
+        load_mode="delta", watermark_col="seq",
+    )
+    store = CheckpointStore(spark, ckpt)
+    assert store.last_watermark("seq") == "19"
+
+    # next batch contains an out-of-range value → partition fails
+    bad = good.unionByName(
+        spark.createDataFrame(
+            [("p0", 20, -5.0), ("p0", 21, 21.0)],
+            "part string, seq long, m double",
+        )
+    )
+    out2 = run_validation(
+        spark, bad, assigns, "part", checkpoint_path=ckpt,
+        load_mode="delta", watermark_col="seq",
+    )
+    assert not out2.passed_all
+    assert store.last_watermark("seq") == "19"  # NOT advanced
+
+    # the failed rows are re-picked by the next delta run (retry story)
+    out3 = run_validation(
+        spark, bad, assigns, "part", checkpoint_path=ckpt,
+        load_mode="delta", watermark_col="seq",
+    )
+    assert sorted(out3.processed_partitions) == ["p0"]
+
+
+def test_checkpoint_store_compaction(spark, tmp_path):
+    """VERDICT r02 #5: many append commits → compact() → identical
+    completed_partitions / last_watermark, file count collapsed to 1."""
+    path = str(tmp_path / "ckpt")
+    store = CheckpointStore(spark, path)
+    for i in range(30):
+        store.mark_done(f"RUN-{i % 3}", f"part-{i}", "digest-A", {"rows": i})
+        if i % 10 == 0:
+            store.record_watermark("seq", str(100 + i))
+    # a re-commit of an existing key: compaction must keep only the latest
+    store.mark_done("RUN-0", "part-0", "digest-A", {"rows": 999})
+
+    before_done = {
+        r: store.completed_partitions(f"RUN-{r}", "digest-A") for r in range(3)
+    }
+    before_wm = store.last_watermark("seq")
+    files_before = store.file_count()
+    assert files_before >= 30
+
+    kept = store.compact()
+    assert kept > 0
+    after_done = {
+        r: store.completed_partitions(f"RUN-{r}", "digest-A") for r in range(3)
+    }
+    assert after_done == before_done
+    assert store.last_watermark("seq") == before_wm == "120"
+    assert store.file_count() == 1
+    # the duplicate-keyed record collapsed to the newest metrics
+    import json as _json
+
+    row = (
+        store.run_log("RUN-0")
+        .where(F.col("partition_id") == "part-0")
+        .collect()
+    )
+    assert len(row) == 1
+    assert _json.loads(row[0]["metrics_json"])["rows"] == 999
+
+
+def test_maybe_compact_threshold(spark, tmp_path):
+    path = str(tmp_path / "ckpt")
+    store = CheckpointStore(spark, path)
+    for i in range(6):
+        store.mark_done("RUN-X", f"p{i}", "d", {})
+    assert store.maybe_compact(max_files=10) is None  # under threshold
+    assert store.file_count() == 6
+    assert store.maybe_compact(max_files=3) is not None
+    assert store.file_count() == 1
+    assert store.completed_partitions("RUN-X", "d") == {f"p{i}" for i in range(6)}
