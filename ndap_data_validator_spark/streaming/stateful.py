@@ -10,11 +10,14 @@ Two shapes a transcript/event stream needs beyond per-batch validation:
     ``applyInPandasWithState`` (the sanctioned escape hatch for semantics
     the built-ins can't express): per-key inactivity-gap sessions whose
     state is (session_start, last_ts, n_events). Closed sessions emit on
-    the batch that closes them; open sessions emit their current snapshot
+    the batch that closes them — either a later same-key event past the gap,
+    or the EVENT-TIME TIMEOUT once the watermark passes last_ts + gap (which
+    also evicts the key's state); open sessions emit their current snapshot
     (marked ``closed = false``) so downstream consumers can fold.
 
-Both are per-key bounded-state: memory is O(active keys), not O(events) —
-the property that matters on an unbounded 100 TB/day stream.
+Both are per-key bounded-state: memory is O(keys active within one gap
+window), not O(events) and not O(all keys ever seen) — the property that
+matters on an unbounded 100 TB/day stream with key churn.
 """
 
 from __future__ import annotations
@@ -65,6 +68,23 @@ def _sessionize_fn(timeout_sec: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # the watermark passed last_event + gap with no new events:
+            # close the session AND EVICT the key — without this, state is
+            # O(all keys ever seen) and the final session of a quiet key
+            # never emits closed=true (ADVICE r02)
+            start_sec, last_sec, n_events = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": pd.to_datetime([start_sec], unit="s"),
+                    "session_end": pd.to_datetime([last_sec], unit="s"),
+                    "n_events": [n_events],
+                    "closed": [True],
+                }
+            )
+            return
         if state.exists:
             start_sec, last_sec, n_events = state.get
         else:
@@ -88,6 +108,16 @@ def _sessionize_fn(timeout_sec: int):
 
         if last_sec is not None:
             state.update((start_sec, last_sec, n_events))
+            # event-time timeout: fire once the watermark passes the
+            # inactivity gap. Spark requires the timeout timestamp to be
+            # beyond the current watermark, so clamp (late keys time out on
+            # the next watermark advance).
+            state.setTimeoutTimestamp(
+                max(
+                    (last_sec + timeout_sec) * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
             out_rows.append((user_id, start_sec, last_sec, n_events, False))
 
         yield pd.DataFrame(
@@ -110,17 +140,26 @@ def sessionize_stream(
     key_col: str = "user_id",
     ts_col: str = "ts",
     timeout_sec: int = 1800,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Custom stateful operator: per-key inactivity-gap sessions over a
-    stream. State per key is three longs — independent of event volume."""
-    events = stream_df.select(
-        F.col(key_col).cast("long").alias("user_id"),
-        F.col(ts_col).cast("timestamp").alias("ts"),
-    ).where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    stream. State per key is three longs — independent of event volume —
+    and BOUNDED IN KEY COUNT: an event-time timeout fires once the watermark
+    passes last_event + timeout_sec, emitting the final session as
+    ``closed = true`` and evicting the key (``state.remove()``), so state is
+    O(keys active within one gap window), not O(all keys ever seen)."""
+    events = (
+        stream_df.select(
+            F.col(key_col).cast("long").alias("user_id"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+        )
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark_delay)
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         _sessionize_fn(timeout_sec),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
