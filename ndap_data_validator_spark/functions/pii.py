@@ -15,10 +15,20 @@ from pyspark.sql import functions as F
 
 # ordered: redaction applies in this order (email before phone so the
 # digits inside an email never match the phone pattern first)
+#
+# phone: 7-15 digits total (ITU E.164 bounds), each separated by at most two
+# of [ tab ( ) . -] — never \s, so a match cannot span newlines, and never
+# unbounded, so a long ID/hash digit run is not swallowed whole (ADVICE r02:
+# the old `[0-9()\s.-]{7,}` matched any ≥9-char digit-ish run incl.
+# timestamps across lines). KNOWN FALSE-POSITIVE CLASSES that remain, by
+# design (recall-biased scrubbing, standard for pre-training cleanups):
+# dates ("2026-08-16" is 8 digits in phone-shaped groups), and the first 15
+# digits of a ≥16-digit run. A precision-critical deployment would add a
+# date-shape pre-pass; kept single-pattern here for engine-replayability.
 PII_PATTERNS: list[tuple[str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
-    ("phone", r"\+?[0-9][0-9()\s.-]{7,}[0-9]"),
+    ("phone", r"\+?[0-9](?:[ \t().-]{0,2}[0-9]){6,14}"),
 ]
 
 REDACTED = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}

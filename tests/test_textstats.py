@@ -134,3 +134,34 @@ def test_repetition_ratio(spark):
     assert rows[1] == 0.0
     assert rows[2] is None
     assert rows[0] == 1.0 - 1.0 / 4  # 4 trigrams, 1 distinct
+
+
+def test_phone_pattern_precision(spark):
+    """r02 advice: the phone pattern must not span newlines, must not swallow
+    unbounded digit runs, and must still catch common phone shapes."""
+    from ndap_data_validator_spark.functions.pii import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "call +1 (555) 123-4567 now"),
+            (1, "intl +44 20 7946 0958 ok"),
+            (2, "line one 1234\nline two 5678"),  # newline must break a match
+            (3, "just a short 12345 id"),  # <7 digits: not a phone
+            (4, "hash 12345678901234567890 tail"),  # 20 digits: bounded match
+        ],
+        "id int, t string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", pii_count(F.col("t"), "phone").alias("p"),
+            redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert rows[0]["p"] == 1 and "<PHONE>" in rows[0]["red"]
+    assert rows[1]["p"] == 1
+    assert rows[2]["p"] == 0 and "<PHONE>" not in rows[2]["red"]
+    assert rows[3]["p"] == 0
+    # 20-digit run: the first 15 digits match (documented class), the
+    # remainder survives — the old pattern swallowed the whole run
+    assert rows[4]["red"].count("<PHONE>") == 1 and "67890 tail" in rows[4]["red"]
