@@ -444,6 +444,19 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occurrence-tagged duplicate rows (uniqueness.py duplicate_rows): every
+    row participating in a duplicated key, numbered under a stable order —
+    the violation-report shape the north_rule's byte-comparable reports use.
+    One shuffle on the key (both window functions share the partitioning)."""
+    from ndap_data_validator_spark.operators.uniqueness import duplicate_rows
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    return duplicate_rows(
+        o, ["o_custkey"], order_by=["o_orderkey"]
+    ).select("o_custkey", "o_orderkey", "occurrence", "dup_count")
+
+
 def q_dtype_coercion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 dtype-selection driver (coerce_dataframe_to_selected_types parity):
     whole-frame coercion report in one agg."""
@@ -622,6 +635,37 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition: per-stratum deterministic keep-rates
+    (orders by status: keep 10% F / 2% O / all P) via the hash gate —
+    still a pure predicate, pushdown applies, no shuffle."""
+    from ndap_data_validator_spark.operators.sample import stratified_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return stratified_sample(
+        o, "o_orderstatus", _STRATA_RATES, "o_orderkey", seed=11
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_STRATA_RATES = {"F": 0.1, "O": 0.02, "P": 1.0}
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Dolma-style n-gram collision): every
+    7th document plays the 'evaluation suite'; its distinct 8-gram hash set
+    is broadcast and each document reports its overlap. Benchmark members
+    flag themselves at hit_ratio 1.0 — the verbatim-leak case."""
+    from ndap_data_validator_spark.operators.decontaminate import (
+        benchmark_ngram_hashes,
+        decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    bh = benchmark_ngram_hashes(bench, n=8, seed=42, hash_fn="md5")
+    return decontaminate(docs, bh, n=8, seed=42, hash_fn="md5")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates via LSH self-buckets + a planted
     clone — oracle-checked: DuckDB replays the hyperplane signatures
@@ -660,14 +704,23 @@ def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (both engines use the same linear
-    interpolation on sorted values); the engine's approx_percentile variant
-    is the scale path, exact is the oracle-checkable form."""
+    interpolation on sorted values), computed DISTRIBUTED: per-value counts
+    → range-sliced window CDF → order-statistic lookup — no single
+    aggregation buffer ever holds all values (the r02 weak spot; single-group
+    ``percentile()`` is OOM territory at 100×)."""
+    from ndap_data_validator_spark.operators.stats import (
+        exact_percentiles_distributed,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.lit("l_extendedprice").alias("column"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    res = exact_percentiles_distributed(
+        li, "l_extendedprice", ps=(0.5, 0.95, 0.99)
+    )
+    return res.select(
+        "column",
+        F.round("p50", 4).alias("p50"),
+        F.round("p95", 4).alias("p95"),
+        F.round("p99", 4).alias("p99"),
     )
 
 
@@ -874,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_lineage": q_join_lineage,
         "union_tokens": q_union_tokens,
         "uniqueness_violations": q_uniqueness_violations,
+        "duplicate_rows": q_duplicate_rows,
         "ri_orphans": q_ri_orphans,
         "column_stats": q_column_stats,
         "drift_ks_psi": q_drift_ks_psi,
@@ -895,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "sessionization": q_sessionization,
         "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "decontamination": q_decontamination,
         "frame_sample_plan": q_frame_sample_plan,
         "exact_percentiles": q_exact_percentiles,
         "embedding_neardup": q_embedding_neardup,
@@ -1065,6 +1121,51 @@ def _ann_ivf_oracle_sql(
                                            ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
             FROM cand)
       SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= {k}
+    """
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from ndap_data_validator_spark.operators.sample import stratified_sample_sql
+
+    gate = stratified_sample_sql(
+        "o_orderstatus", _STRATA_RATES, "o_orderkey", seed=11
+    )
+    return f"""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE {gate}
+    """
+
+
+def _decontamination_oracle_sql(n: int = 8, seed: int = 42) -> str:
+    """DuckDB replay of the md5-portable decontamination pipeline: same
+    tokenization/shingling as the minhash oracle, benchmark = doc_id % 7."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    k = n - 1
+    return rf"""
+      WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      w AS (SELECT doc_id,
+              regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+            FROM docs),
+      s AS (SELECT doc_id,
+              CASE WHEN len(w) - {k} <= 0 THEN [array_to_string(w, ' ')]
+                   ELSE list_distinct(list_transform(
+                          generate_series(1, len(w) - {k}),
+                          i -> array_to_string(w[i:i+{k}], ' ')))
+              END AS ngrams
+            FROM w),
+      ex AS (SELECT doc_id, {P('ng', seed)} AS ng_hash
+             FROM (SELECT doc_id, unnest(ngrams) AS ng FROM s)),
+      bh AS (SELECT DISTINCT ng_hash FROM ex WHERE doc_id % 7 = 0),
+      m AS (SELECT e.doc_id,
+                   CASE WHEN b.ng_hash IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM ex e LEFT JOIN bh b USING (ng_hash))
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(hit) AS BIGINT) AS n_hits,
+             ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS hit_ratio,
+             (SUM(hit)::DOUBLE / COUNT(*)) > 0.0 AS contaminated
+      FROM m GROUP BY doc_id
     """
 
 
@@ -1525,6 +1626,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionization": sessionization,
         "deterministic_sample": deterministic_sample_sql,
+        "stratified_sample": _stratified_sample_oracle_sql(),
+        "decontamination": _decontamination_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
         "embedding_neardup": f"""
@@ -1582,6 +1685,18 @@ def oracle_sql() -> dict[str, str]:
           FROM events GROUP BY event_type
         """,
         "topk_orders": topk_orders,
+        "duplicate_rows": """
+          WITH t AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey) AS INT)
+                     AS occurrence,
+                   CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+                     AS dup_count
+            FROM orders WHERE o_custkey < 100)
+          SELECT o_custkey, o_orderkey, occurrence, dup_count
+          FROM t WHERE dup_count > 1
+        """,
         "dtype_coercion_report": dtype_coercion_report,
         "three_way_join": """
           SELECT n.n_name AS n_name,

@@ -1,0 +1,97 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation suite by word n-grams (the GPT-3 appendix-C / Dolma-style 13-gram
+collision check) — a north-star training-data op with no counterpart in the
+reference (whose scope is tabular validation, utils/validation.py).
+
+Spark-first shape, sized for 100 TB of documents vs a ~MB benchmark suite:
+
+  * the BENCHMARK side is tiny (eval sets are thousands of documents):
+    its distinct n-gram hash set is computed once and BROADCAST — the
+    corpus never shuffles for the join;
+  * the corpus side is ONE projection (casefold → tokenize → n-gram →
+    hash) + explode + a single groupBy(doc) with map-side partial
+    aggregation; the shuffle carries (doc_id, two longs), never text;
+  * joining on 8-byte hashes, not n-gram strings: a hash collision can only
+    FLAG an extra n-gram (never unflag), and at 64 bits the expected extra
+    flags over even 10^12 corpus n-grams are negligible.
+
+``hash_fn='md5'`` (portable_hash64) makes the whole pipeline replayable by
+the DuckDB oracle; production uses xxhash64 (JVM-side, no md5 cost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.operators.dedup import _hash64, shingles
+
+
+def benchmark_ngram_hashes(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Distinct n-gram hash set of the evaluation suite → (ng_hash). Small
+    by construction — the broadcast side of every decontamination join. A
+    document shorter than ``n`` tokens contributes its whole text as one
+    'n-gram' (the shingles() short-text rule), so tiny benchmark items
+    still match verbatim copies."""
+    return (
+        benchmark.select(
+            F.explode(shingles(F.col(text_col), n)).alias("__ng")
+        )
+        .select(_hash64(F.col("__ng"), seed, hash_fn).alias("ng_hash"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_hit_ratio: float = 0.0,
+) -> DataFrame:
+    """Per-document contamination report:
+    (id, n_ngrams, n_hits, hit_ratio, contaminated).
+
+    ``contaminated`` = hit_ratio > max_hit_ratio; the default 0.0 flags any
+    document sharing even one n-gram with the benchmark (the conservative
+    pre-training policy). n_grams are DISTINCT per document (shingles()),
+    so the ratio is set-overlap, not occurrence-weighted."""
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("__ng"),
+    ).select(
+        id_col, _hash64(F.col("__ng"), seed, hash_fn).alias("ng_hash")
+    )
+    marked = ex.join(
+        F.broadcast(benchmark_hashes.withColumn("__hit", F.lit(1))),
+        "ng_hash",
+        "left",
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_ngrams"), 4
+            ).alias("hit_ratio"),
+            (
+                F.col("n_hits").cast("double") / F.col("n_ngrams")
+                > F.lit(max_hit_ratio)
+            ).alias("contaminated"),
+        )
+    )

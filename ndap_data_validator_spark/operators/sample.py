@@ -51,6 +51,54 @@ def deterministic_sample(
     return df.where(sample_gate(F.col(key_col), fraction, seed, hash_fn))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    hash_fn: str = "md5",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic hash-gate sampling — the training-mix
+    composition op (rebalance languages / quality buckets / sources with a
+    different keep-rate each). Strata sets are catalog-sized, so the
+    rate lookup is a literal map folded into the filter: the whole operator
+    stays a pure pushdown-friendly predicate, no shuffle, and keeps every
+    hash-gate property (retry/partitioning/engine stable, cross-table
+    consistent for the same key).
+
+    Per-stratum thresholds are precomputed INTEGERS (``round(rate·M)``), so
+    an external engine replays the gate without float-rounding drift."""
+    thresholds = {s: int(round(r * _GATE_MOD)) for s, r in rates.items()}
+    thr = F.lit(int(round(default_rate * _GATE_MOD)))
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thr)
+    if hash_fn == "md5":
+        h = portable_hash64(F.col(key_col), seed=seed)
+    else:
+        h = F.abs(F.xxhash64(F.col(key_col), F.lit(seed)))
+    return df.where(F.pmod(h, F.lit(_GATE_MOD)) < thr)
+
+
+def stratified_sample_sql(
+    strata_expr: str,
+    rates: dict[str, float],
+    key_expr: str,
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB rendering of the stratified gate (same integer thresholds)."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql
+
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {int(round(r * _GATE_MOD))}"
+        for s, r in sorted(rates.items())
+    )
+    thr = f"(CASE {cases} ELSE {int(round(default_rate * _GATE_MOD))} END)"
+    return f"({portable_hash64_sql(key_expr, seed)} % {_GATE_MOD}) < {thr}"
+
+
 def sample_gate_sql(key_expr: str, fraction: float, seed: int = 42) -> str:
     """The DuckDB rendering of the same gate, for oracle SQL."""
     from ndap_data_validator_spark.functions.porthash import portable_hash64_sql

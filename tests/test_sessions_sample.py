@@ -139,3 +139,56 @@ def test_connected_components_matches_union_find(spark):
     for n in touched:
         expected[n] = comp_min[find(n)]
     assert got == expected
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from ndap_data_validator_spark.operators.sample import stratified_sample
+
+    df = spark.range(30_000).select(
+        F.col("id").alias("key"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("stratum"),
+    )
+    rates = {"a": 0.5, "b": 0.05, "c": 1.0}
+    out = stratified_sample(df, "stratum", rates, "key", seed=3)
+    got = {r["stratum"]: r["n"] for r in
+           out.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["c"] == 10_000  # rate 1.0 keeps everything
+    assert abs(got["a"] / 10_000 - 0.5) < 0.03
+    assert abs(got["b"] / 10_000 - 0.05) < 0.01
+    # deterministic under repartitioning
+    again = stratified_sample(df.repartition(17), "stratum", rates, "key", seed=3)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    # unknown strata fall to default_rate=0.0
+    df2 = df.withColumn("stratum", F.lit("zzz"))
+    assert stratified_sample(df2, "stratum", rates, "key", seed=3).count() == 0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from ndap_data_validator_spark.operators.decontaminate import (
+        benchmark_ngram_hashes,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),  # verbatim
+            (2, "prefix words then the quick brown fox jumps over the "
+                "lazy dog tonight and more trailing text here"),  # embedded
+            (3, "completely unrelated content about spark query planning "
+                "and shuffle partitioning strategies at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    bh = benchmark_ngram_hashes(bench, n=8, seed=1)
+    rep = {r["doc_id"]: r for r in
+           decontaminate(docs, bh, n=8, seed=1).collect()}
+    assert rep[1]["contaminated"] and rep[1]["hit_ratio"] == 1.0
+    assert rep[2]["contaminated"] and 0 < rep[2]["n_hits"] < rep[2]["n_ngrams"]
+    assert not rep[3]["contaminated"] and rep[3]["n_hits"] == 0
