@@ -1,0 +1,251 @@
+"""User-style end-to-end job driving the engine via its public API only."""
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.operators.validate import ValidationEngine
+from ndap_data_validator_spark.operators.uniqueness import (
+    duplicate_keys,
+    duplicate_keys_hashed,
+)
+from ndap_data_validator_spark.operators.referential import ri_violation_counts
+from ndap_data_validator_spark.operators import drift as drift_mod
+from ndap_data_validator_spark.plans.pipeline import (
+    run_validation,
+    salt_repartition,
+    new_run_id,
+)
+from ndap_data_validator_spark.plans.checkpoint import CheckpointStore
+from ndap_data_validator_spark.rules.model import ColumnAssignment
+from ndap_data_validator_spark.sources.datagen import transcripts
+
+spark = (
+    SparkSession.builder.appName("verify-job")
+    .config("spark.sql.shuffle.partitions", "16")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+df = transcripts(spark, 50_000, 500, seed=42)
+assigns = [
+    ColumnAssignment("conv_id", "Location"),
+    ColumnAssignment("turn_idx", "Measures", "integer", min_value=0),
+    ColumnAssignment("role", "Others", regex=r"^(user|assistant|tool)$"),
+]
+
+res = ValidationEngine().validate(df, assigns, partition_by=F.substring("conv_id", 1, 9))
+rep = {r["column"]: r for r in res.per_column_report.where(F.col("partition_id").isNotNull()).collect()[:50]}
+print("per-column sample:", {k: (v["nulls"], v["conversion_errors"], v["passed"]) for k, v in list(rep.items())[:6]})
+
+dups = duplicate_keys(df, ["conv_id", "turn_idx"]).count()
+dups_h = duplicate_keys_hashed(df, ["conv_id", "turn_idx"]).count()
+print("duplicate keys:", dups, "hashed-path:", dups_h)
+assert dups == dups_h, "two-phase hashed uniqueness must equal exact"
+
+dups_salted = duplicate_keys(
+    salt_repartition(df, "conv_id", num_partitions=8), ["conv_id", "turn_idx"]
+).count()
+assert dups_salted == dups, "salted plan must be result-identical"
+
+tools = spark.createDataFrame([(f"tool-{k:03d}",) for k in range(50)], "tool_id string")
+ri = ri_violation_counts(df.where(F.col("tool").isNotNull()), "tool", tools, "tool_id")
+print("RI violating tool ids:", ri.count())
+
+# checkpointed run with report writing on a VANILLA session (no dynamic
+# overwrite session conf) — exercises the writer-local overwrite mode fix
+import tempfile, os
+base = tempfile.mkdtemp(prefix="verify_run_")
+run_id = new_run_id()
+out1 = run_validation(
+    spark, df, assigns, F.substring("conv_id", 1, 9),
+    checkpoint_path=os.path.join(base, "ckpt"), run_id=run_id,
+    report_path=os.path.join(base, "report"),
+)
+n_parts = len(out1.processed_partitions)
+rows1 = spark.read.parquet(os.path.join(base, "report/per_column")).count()
+# resume: everything done → second run must NOT wipe existing report rows
+out2 = run_validation(
+    spark, df, assigns, F.substring("conv_id", 1, 9),
+    checkpoint_path=os.path.join(base, "ckpt"), run_id=run_id,
+    report_path=os.path.join(base, "report"),
+)
+rows2 = spark.read.parquet(os.path.join(base, "report/per_column")).count()
+print("report rows after run/resume:", rows1, rows2, "partitions:", n_parts)
+assert rows1 == rows2 and rows1 > 0, "resume must not wipe done partitions' reports"
+assert out2.skipped_partitions == out1.processed_partitions
+
+# drift: baseline vs shifted-by-multiple-bin-widths current
+snap = drift_mod.snapshot(df.where(F.col("turn_idx").isNotNull()), ["turn_idx"], n_bins=32)
+shifted = df.withColumn("turn_idx", F.col("turn_idx") + F.lit(2000))
+(dr,) = drift_mod.drift_check(shifted, snap)
+print("drift ks/psi:", round(dr.ks, 4), round(dr.psi, 4))
+assert dr.drifted(), "a multi-bin-width shift must trip drift"
+
+# distributed exact KS vs the binned check on the same split
+from ndap_data_validator_spark.operators.drift import ks_exact_distributed
+half = df.where(F.col("turn_idx").isNotNull())
+ksd = ks_exact_distributed(
+    half.where(F.col("turn_idx") % 2 == 0),
+    half.where(F.col("turn_idx") % 2 == 1),
+    "turn_idx",
+).first()
+print("distributed exact KS:", round(ksd["ks"], 4), ksd["n_a"], ksd["n_b"])
+assert 0.0 <= ksd["ks"] <= 1.0 and ksd["n_a"] > 0
+
+# dedup skew guards end-to-end
+from ndap_data_validator_spark.operators.dedup import (
+    minhash_near_duplicates, ngram_jaccard_pairs,
+)
+docs = df.where(F.col("text").isNotNull()).limit(2000).select(
+    F.monotonically_increasing_id().alias("doc_id"), "text")
+docs = docs.cache()
+nd = minhash_near_duplicates(docs, threshold=0.9, max_bucket_size=64)
+print("minhash near-dups found:", nd.count())
+nj = ngram_jaccard_pairs(docs.limit(150), n=1, threshold=0.95, max_token_df=100)
+print("ngram near-dup pairs:", nj.count())
+
+# IVF ANN with the new deterministic seed-centroid path + md5-portable minhash
+from ndap_data_validator_spark.operators.similarity import ivf_topk
+emb = spark.range(500).select(
+    F.col("id").alias("vec_id"),
+    F.transform(F.sequence(F.lit(0), F.lit(15)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0)
+               ).alias("embedding"))
+ivf = ivf_topk(emb, emb.where(F.col("vec_id") < 3), k=4, n_centroids=6, n_probe=6)
+print("ivf rows:", ivf.count())
+assert ivf.count() == 12
+
+md5_dups = minhash_near_duplicates(docs.limit(200), threshold=0.9, hash_fn="md5")
+print("md5-portable minhash near-dups:", md5_dups.count())
+
+# delta load mode: append rows, delta run validates only the new ones, and
+# the folded report equals a full re-run's
+d1 = spark.createDataFrame([(f"p{i%3}", i, float(i)) for i in range(300)],
+                           "part string, seq long, m double")
+d2 = spark.createDataFrame([(f"q{i%2}", i, float(i)) for i in range(300, 500)],
+                           "part string, seq long, m double")
+massigns = [ColumnAssignment("part", "Location"), ColumnAssignment("m", "Measures", "float")]
+dbase = tempfile.mkdtemp(prefix="verify_delta_")
+run_validation(spark, d1, massigns, "part", checkpoint_path=f"{dbase}/c",
+               report_path=f"{dbase}/r", load_mode="delta", watermark_col="seq")
+o2 = run_validation(spark, d1.unionByName(d2), massigns, "part",
+                    checkpoint_path=f"{dbase}/c", report_path=f"{dbase}/r",
+                    load_mode="delta", watermark_col="seq")
+assert sorted(o2.processed_partitions) == ["q0", "q1"], o2.processed_partitions
+run_validation(spark, d1.unionByName(d2), massigns, "part",
+               checkpoint_path=f"{dbase}/c2", report_path=f"{dbase}/r2",
+               load_mode="full_reload")
+# delta-mode report dirs carry a delta_batch partition key (r03: batches
+# accumulate; retries overwrite only their own batch) — drop it to fold
+ra = spark.read.parquet(f"{dbase}/r/per_column").drop("delta_batch")
+rb = spark.read.parquet(f"{dbase}/r2/per_column")
+assert ra.exceptAll(rb).count() == 0 and rb.exceptAll(ra).count() == 0
+print("delta-vs-full report rows:", ra.count())
+
+# r03: second delta batch into an EXISTING partition must not clobber the
+# prior batch's published rows; failed batches keep the watermark
+d3 = spark.createDataFrame([(f"q{i%2}", i, float(i)) for i in range(500, 560)],
+                           "part string, seq long, m double")
+o3 = run_validation(spark, d1.unionByName(d2).unionByName(d3), massigns, "part",
+                    checkpoint_path=f"{dbase}/c", report_path=f"{dbase}/r",
+                    load_mode="delta", watermark_col="seq")
+assert sorted(o3.processed_partitions) == ["q0", "q1"], o3.processed_partitions
+rc = spark.read.parquet(f"{dbase}/r/per_column")
+assert rc.select("delta_batch").distinct().count() == 3
+print("delta batches accumulated:", 3)
+
+# csv: source scheme
+from ndap_data_validator_spark.sources.tables import load_table
+cbase = tempfile.mkdtemp(prefix="verify_csv_")
+d1.coalesce(1).write.mode("overwrite").option("header", "true").csv(f"{cbase}/t.csv")
+cback = load_table(spark, f"csv:{cbase}", "t", schema="part string, seq long, m double")
+assert cback.count() == 300
+print("csv roundtrip rows:", cback.count())
+
+# S10 schema evolution: mergeSchema read + aligned structure_change run
+from ndap_data_validator_spark.sources.evolution import (
+    align_to_schema, evolved_read, schema_diff)
+ebase = tempfile.mkdtemp(prefix="verify_evo_")
+spark.createDataFrame([("p0", 1)], "part string, m int").write.mode("overwrite").parquet(f"{ebase}/t")
+spark.createDataFrame([("p1", 2, "x")], "part string, m int, tag string").write.mode("append").parquet(f"{ebase}/t")
+evo = evolved_read(spark, f"{ebase}/t")
+diff = schema_diff(spark.createDataFrame([], "part string, m int").schema, evo.schema)
+assert diff.added == ["tag"] and diff.is_structure_change
+aligned = align_to_schema(evo, evo.schema)
+oevo = run_validation(spark, aligned, [ColumnAssignment("part", "Location")],
+                      "part", checkpoint_path=f"{ebase}/c", load_mode="structure_change")
+print("structure_change partitions:", sorted(oevo.processed_partitions))
+assert sorted(oevo.processed_partitions) == ["p0", "p1"]
+
+# clusters / sessions / deterministic sampling
+from ndap_data_validator_spark.operators.dedup import connected_components, dedup_keepers
+from ndap_data_validator_spark.operators.sessions import session_rollup
+from ndap_data_validator_spark.operators.sample import deterministic_sample
+pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+cc = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+ev = df.where(F.col("ts").isNotNull() & F.col("conv_id").isNotNull())
+sess = session_rollup(ev, key_col="conv_id", ts_col="ts", timeout_sec=600,
+                      order_tiebreak="turn_idx")
+print("sessions:", sess.count())
+samp = deterministic_sample(df, "conv_id", 0.25, seed=7)
+s1, s2 = samp.count(), deterministic_sample(df.repartition(17), "conv_id", 0.25, seed=7).count()
+assert s1 == s2
+print("deterministic sample rows:", s1)
+
+# stateful streaming: windowed counts + applyInPandasWithState sessions
+from ndap_data_validator_spark.streaming.stateful import (
+    windowed_event_counts, sessionize_stream)
+wbase = tempfile.mkdtemp(prefix="verify_stream_")
+ev2 = spark.createDataFrame(
+    [(i % 5, ["a","b"][i % 2], f"2026-01-01 00:{i % 60:02d}:00") for i in range(120)],
+    "user_id long, event_type string, ts string"
+).select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+ev2.coalesce(2).write.mode("overwrite").parquet(f"{wbase}/src")
+stream = spark.readStream.schema("user_id long, event_type string, ts timestamp").parquet(f"{wbase}/src")
+q1 = (windowed_event_counts(stream).writeStream.format("memory").queryName("vw")
+      .outputMode("append").option("checkpointLocation", f"{wbase}/c1")
+      .trigger(availableNow=True).start())
+q1.awaitTermination(120)
+q2 = (sessionize_stream(stream, timeout_sec=600).writeStream.format("memory")
+      .queryName("vs").outputMode("update")
+      .option("checkpointLocation", f"{wbase}/c2")
+      .trigger(availableNow=True).start())
+q2.awaitTermination(120)
+print("windowed rows:", spark.sql("SELECT count(*) FROM vw").first()[0],
+      "session rows:", spark.sql("SELECT count(*) FROM vs").first()[0])
+assert spark.sql("SELECT count(*) FROM vs").first()[0] > 0
+
+# jsonl: source scheme
+jbase = tempfile.mkdtemp(prefix="verify_jsonl_")
+d1.coalesce(1).write.mode("overwrite").json(f"{jbase}/t.jsonl")
+jback = load_table(spark, f"jsonl:{jbase}", "t", schema="part string, seq long, m double")
+assert jback.count() == 300
+print("jsonl roundtrip rows:", jback.count())
+
+# PII scrub over transcript text
+from ndap_data_validator_spark.functions.pii import pii_count, redact_pii
+ptxt = df.where(F.col("text").isNotNull()).limit(500).select(
+    F.concat(F.col("text"), F.lit(" reach me at x.y@example.net or 10.0.0.7")).alias("t"))
+prow = ptxt.select(
+    F.sum(pii_count(F.col("t"), "email")).alias("e"),
+    F.sum(pii_count(F.col("t"), "ipv4")).alias("i"),
+    F.sum((F.instr(redact_pii(F.col("t")), "@") > 0).cast("long")).alias("leaks"),
+).first()
+assert prow["e"] == 500 and prow["i"] == 500 and prow["leaks"] == 0
+print("pii scrub: 500 emails + 500 ips redacted, 0 leaks")
+
+# repetition-ratio quality signal
+from ndap_data_validator_spark.functions.textstats import repetition_ratio
+rr = df.where(F.col("text").isNotNull()).limit(1000).agg(
+    F.avg(repetition_ratio(F.col("text"), 3)).alias("avg_rr"),
+    F.max(repetition_ratio(F.col("text"), 3)).alias("max_rr"),
+).first()
+assert rr["avg_rr"] is not None and 0.0 <= rr["avg_rr"] <= 1.0
+print("repetition ratio avg/max:", round(rr["avg_rr"], 4), round(rr["max_rr"], 4))
+
+print("JOB OK")
+spark.stop()
