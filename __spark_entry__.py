@@ -666,6 +666,52 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bh, n=8, seed=42, hash_fn="md5")
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TF-IDF top-3 terms per document (postings groupBy →
+    vocabulary-df join → broadcast N → per-doc window). Rank on the rounded
+    score + term tie-break = cross-engine-stable ordering."""
+    from ndap_data_validator_spark.operators.tfidf import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return tfidf_top_terms(d, k=3, min_df=2)
+
+
+def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist corpus filter: URLs planted deterministically on
+    every 5th document (both engines replay the construction), two domains
+    blocked, survivors report their extracted domains — extraction and the
+    gate are one scan-level projection+filter, no shuffle."""
+    from ndap_data_validator_spark.functions.urls import (
+        domain_blocklist_filter,
+        extract_domains,
+        extract_urls,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    with_urls = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see http://site-"),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit(".example.com/page?x=1 ok"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    kept = domain_blocklist_filter(
+        with_urls, ["site-3.example.com", "site-7.example.com"]
+    )
+    return kept.select(
+        "doc_id",
+        F.size(extract_urls(F.col("text"))).alias("n_urls"),
+        F.concat_ws(",", F.array_sort(extract_domains(F.col("text")))).alias(
+            "domains_csv"
+        ),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates via LSH self-buckets + a planted
     clone — oracle-checked: DuckDB replays the hyperplane signatures
@@ -951,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
         "decontamination": q_decontamination,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "url_domain_filter": q_url_domain_filter,
         "frame_sample_plan": q_frame_sample_plan,
         "exact_percentiles": q_exact_percentiles,
         "embedding_neardup": q_embedding_neardup,
@@ -1133,6 +1181,34 @@ def _stratified_sample_oracle_sql() -> str:
     return f"""
       SELECT o_orderkey, o_orderstatus, o_totalprice
       FROM orders WHERE {gate}
+    """
+
+
+def _url_domain_filter_oracle_sql() -> str:
+    from ndap_data_validator_spark.functions.urls import URL_PATTERN
+
+    pat = URL_PATTERN.replace("'", "''")
+    dom = (
+        "list_distinct(list_transform(regexp_extract_all(text, '{p}'), "
+        "u -> lower(regexp_replace(u, '^https?://([^/:?#]+).*$', '\\1'))))"
+    ).format(p=pat)
+    return f"""
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' see http://site-' ||
+                         CAST(doc_id % 13 AS VARCHAR) ||
+                         '.example.com/page?x=1 ok'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id < 500),
+      x AS (SELECT doc_id, text, {dom} AS domains FROM d)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_urls,
+             COALESCE(array_to_string(list_sort(domains), ','), '')
+               AS domains_csv  -- DuckDB: array_to_string([]) is NULL
+      FROM x
+      WHERE len(list_intersect(domains,
+              ['site-3.example.com', 'site-7.example.com'])) = 0
     """
 
 
@@ -1627,7 +1703,30 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": sessionization,
         "deterministic_sample": deterministic_sample_sql,
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "url_domain_filter": _url_domain_filter_oracle_sql(),
         "decontamination": _decontamination_oracle_sql(),
+        "tfidf_top_terms": r"""
+          WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+          toks AS (SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' ')) AS term
+                   FROM docs),
+          p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term),
+          d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM p GROUP BY term HAVING COUNT(*) >= 2),
+          n AS (SELECT COUNT(*) AS n_docs FROM docs),
+          s AS (SELECT p.doc_id, p.term, p.tf, d.df,
+                  ROUND(p.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0), 6)
+                    AS tfidf
+                FROM p JOIN d USING (term) CROSS JOIN n),
+          r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT)
+                  AS "rank"
+                FROM s)
+          SELECT doc_id, term, tf, df, tfidf, "rank" FROM r WHERE "rank" <= 3
+        """,
         "pii_scrub": _pii_scrub_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
         "embedding_neardup": f"""

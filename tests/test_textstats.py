@@ -165,3 +165,58 @@ def test_phone_pattern_precision(spark):
     # 20-digit run: the first 15 digits match (documented class), the
     # remainder survives — the old pattern swallowed the whole run
     assert rows[4]["red"].count("<PHONE>") == 1 and "67890 tail" in rows[4]["red"]
+
+
+def test_tfidf_top_terms_ranks_discriminative_words(spark):
+    from ndap_data_validator_spark.operators.tfidf import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark shuffle common common"),
+            (1, "duckdb duckdb vector common common"),
+            (2, "parquet column column column common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2, min_df=1).collect()
+    top1 = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    # the doc-specific repeated term beats the corpus-wide 'common'
+    assert top1 == {0: "spark", 1: "duckdb", 2: "column"}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 2 for v in by_doc.values())
+    # df is corpus-wide: 'common' appears in all 3 docs
+    common = [r for r in out if r["term"] == "common"]
+    assert all(r["df"] == 3 for r in common)
+
+
+def test_url_extraction_and_blocklist_filter(spark):
+    from ndap_data_validator_spark.functions.urls import (
+        domain_blocklist_filter,
+        extract_domains,
+        extract_urls,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "plain text no links"),
+            (1, "visit https://Good.Example.COM/a?b=1 and http://bad.org/x"),
+            (2, "dup http://bad.org/1 http://bad.org/2 tail"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        F.size(extract_urls(F.col("text"))).alias("n"),
+        extract_domains(F.col("text")).alias("doms"),
+    ).collect()}
+    assert rows[0]["n"] == 0 and rows[0]["doms"] == []
+    assert rows[1]["n"] == 2
+    assert sorted(rows[1]["doms"]) == ["bad.org", "good.example.com"]
+    assert rows[2]["doms"] == ["bad.org"]  # distinct
+
+    kept = domain_blocklist_filter(df, ["bad.org"])
+    assert {r["doc_id"] for r in kept.collect()} == {0}
+    dropped = domain_blocklist_filter(df, ["bad.org"], keep=False)
+    assert {r["doc_id"] for r in dropped.collect()} == {1, 2}

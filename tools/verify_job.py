@@ -247,5 +247,61 @@ rr = df.where(F.col("text").isNotNull()).limit(1000).agg(
 assert rr["avg_rr"] is not None and 0.0 <= rr["avg_rr"] <= 1.0
 print("repetition ratio avg/max:", round(rr["avg_rr"], 4), round(rr["max_rr"], 4))
 
+# r03 ops: decontamination, stratified sample, tf-idf, URL filter,
+# distributed exact percentiles, checkpoint compaction
+from ndap_data_validator_spark.operators.decontaminate import (
+    benchmark_ngram_hashes, decontaminate,
+)
+from ndap_data_validator_spark.operators.sample import stratified_sample
+from ndap_data_validator_spark.operators.tfidf import tfidf_top_terms
+from ndap_data_validator_spark.functions.urls import domain_blocklist_filter
+from ndap_data_validator_spark.operators.stats import (
+    exact_percentiles_distributed,
+)
+
+# deterministic doc set (limit() picks different rows per job): one text
+# per conversation, benchmark = conv ids ending in 00
+docs = (
+    df.where(F.col("turn_idx") == 0)
+    .where(F.col("text").isNotNull())
+    .select(F.col("conv_id").alias("doc_id"), "text")
+)
+bench_set = docs.where(F.col("doc_id").endswith("00"))
+n_bench = bench_set.count()
+rep = decontaminate(docs, benchmark_ngram_hashes(bench_set, n=5), n=5)
+n_cont = rep.where(F.col("contaminated")).count()
+assert n_cont >= n_bench > 0, (n_cont, n_bench)
+print("decontamination: contaminated docs:", n_cont, "of bench", n_bench)
+
+strat = stratified_sample(df, "role", {"user": 0.5, "assistant": 0.05}, "conv_id", seed=3)
+counts = {r["role"]: r["n"] for r in strat.groupBy("role").agg(F.count(F.lit(1)).alias("n")).collect()}
+assert set(counts) <= {"user", "assistant"} and counts.get("user", 0) > counts.get("assistant", 0)
+print("stratified sample counts:", counts)
+
+tt = tfidf_top_terms(docs, k=2, min_df=2)
+mx = tt.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+assert mx is not None and mx <= 2, mx
+print("tfidf top-term rows:", tt.count())
+
+urls_df = docs.select(
+    "doc_id",
+    F.concat(F.col("text"), F.lit(" http://blocked.example.com/x")).alias("text"),
+)
+assert domain_blocklist_filter(urls_df, ["blocked.example.com"]).count() == 0
+print("url blocklist: all planted docs dropped")
+
+pct = exact_percentiles_distributed(df, "turn_idx", ps=(0.5, 0.95)).first()
+exact = df.agg(F.expr("percentile(turn_idx, array(0.5, 0.95))")).first()[0]
+assert abs(pct["p50"] - exact[0]) < 1e-9 and abs(pct["p95"] - exact[1]) < 1e-9
+print("distributed exact percentiles == percentile():", pct["p50"], pct["p95"])
+
+n_files_before = store.file_count() if "store" in dir() else None
+from ndap_data_validator_spark.plans.checkpoint import CheckpointStore as _CS
+cstore = _CS(spark, f"{dbase}/c")
+fb = cstore.file_count()
+kept = cstore.compact()
+assert cstore.file_count() == 1 and kept > 0
+print("checkpoint compaction:", fb, "files ->", cstore.file_count())
+
 print("JOB OK")
 spark.stop()
