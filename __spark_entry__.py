@@ -676,6 +676,31 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(d, k=3, min_df=2)
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation pass (operators/curate.py): quality
+    gate → language gate → exact-dedup keepers → decontamination, with a
+    planted duplicate (clone of doc 1) and every 31st doc as the
+    'benchmark'. Returns the per-stage survivor funnel — the data-card
+    table; DuckDB replays all four gates."""
+    from ndap_data_validator_spark.operators.curate import curate_corpus
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+    )
+    clone = base.where(F.col("doc_id") == 1).withColumn(
+        "doc_id", F.lit(700_000).cast("long")
+    )
+    docs = base.unionByName(clone)
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(31)) == 0)
+    _, funnel = curate_corpus(
+        docs, bench, min_quality=0.5, languages=("en",),
+        decontaminate_n=8, seed=42, hash_fn="md5",
+    )
+    return funnel
+
+
 def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist corpus filter: URLs planted deterministically on
     every 5th document (both engines replay the construction), two domains
@@ -999,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "tfidf_top_terms": q_tfidf_top_terms,
         "url_domain_filter": q_url_domain_filter,
+        "curation_funnel": q_curation_funnel,
         "frame_sample_plan": q_frame_sample_plan,
         "exact_percentiles": q_exact_percentiles,
         "embedding_neardup": q_embedding_neardup,
@@ -1209,6 +1235,91 @@ def _url_domain_filter_oracle_sql() -> str:
       FROM x
       WHERE len(list_intersect(domains,
               ['site-3.example.com', 'site-7.example.com'])) = 0
+    """
+
+
+def _curation_funnel_oracle_sql(n: int = 8, seed: int = 42) -> str:
+    """DuckDB replay of the ENTIRE curation funnel (operators/curate.py):
+    quality score, lang-ID, fingerprint keepers, and the md5-portable
+    decontamination gate, unpivoted to the 5-stage survivor table."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+    from ndap_data_validator_spark.functions.textstats import (
+        LANG_MARKERS,
+        _STOPWORDS_EN,
+    )
+
+    k = n - 1
+    sw = "[" + ",".join(f"'{w}'" for w in _STOPWORDS_EN) + "]"
+    hits = ", ".join(
+        "len(list_filter(ltoks, x -> list_contains(["
+        + ",".join(f"'{w}'" for w in ws_)
+        + f"], x))) AS {lang}"
+        for lang, ws_ in LANG_MARKERS.items()
+    )
+    others = [l for l in LANG_MARKERS if l != "en"]
+    en_cond = "en > 0 AND " + " AND ".join(f"en >= {l}" for l in others)
+    return rf"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 600
+        UNION ALL
+        SELECT CAST(700000 AS BIGINT), text FROM documents WHERE doc_id = 1),
+      t AS (SELECT doc_id, text,
+              CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+            FROM docs),
+      t2 AS (SELECT doc_id, text, toks,
+               list_transform(toks, x -> lower(x)) AS ltoks,
+               COALESCE(CASE WHEN len(toks) > 0
+                 THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                      / len(toks) END, 0.0) AS mwl
+             FROM t),
+      q AS (SELECT doc_id, text, ltoks,
+              ROUND(
+                LEAST(len(ltoks)::DOUBLE / 20.0, 1.0) * 0.3
+                + COALESCE(CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^\p{{L}}]', '', 'g'))::DOUBLE
+                         / length(text) END, 0.0) * 0.3
+                + LEAST(COALESCE(CASE WHEN len(ltoks) > 0
+                    THEN len(list_filter(ltoks, x -> list_contains({sw}, x)))::DOUBLE
+                         / len(ltoks) END, 0.0) * 4, 1.0) * 0.2
+                + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.3 END) * 0.2,
+              4) AS quality,
+              {hits},
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM t2),
+      -- decontamination: distinct word n-gram hashes, benchmark = doc_id % 31
+      w AS (SELECT doc_id,
+              regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+            FROM docs),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(w) - {k} <= 0 THEN [array_to_string(w, ' ')]
+                    ELSE list_distinct(list_transform(
+                           generate_series(1, len(w) - {k}),
+                           i -> array_to_string(w[i:i+{k}], ' ')))
+               END AS ngrams
+             FROM w),
+      ex AS (SELECT doc_id, {P('ng', seed)} AS ng_hash
+             FROM (SELECT doc_id, unnest(ngrams) AS ng FROM sh)),
+      bh AS (SELECT DISTINCT ng_hash FROM ex WHERE doc_id % 31 = 0),
+      dirty AS (SELECT DISTINCT e.doc_id FROM ex e JOIN bh USING (ng_hash)),
+      flags AS (SELECT q.doc_id,
+                 (q.quality >= 0.5) AS s1,
+                 (q.quality >= 0.5 AND ({en_cond})) AS s2,
+                 (q.quality >= 0.5 AND ({en_cond})
+                  AND q.doc_id = MIN(q.doc_id) OVER (PARTITION BY q.fp)) AS s3,
+                 (q.doc_id IN (SELECT doc_id FROM dirty)) AS dirty
+               FROM q),
+      f AS (SELECT CAST(COUNT(*) AS BIGINT) AS ingested,
+                   CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS quality_gate,
+                   CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS language_gate,
+                   CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS dedup_gate,
+                   CAST(SUM(CASE WHEN s3 AND NOT dirty THEN 1 ELSE 0 END) AS BIGINT) AS decontamination_gate
+            FROM flags)
+      SELECT CAST(0 AS INT) AS stage_idx, 'ingested' AS stage, ingested AS survivors FROM f
+      UNION ALL SELECT 1, 'quality_gate', quality_gate FROM f
+      UNION ALL SELECT 2, 'language_gate', language_gate FROM f
+      UNION ALL SELECT 3, 'dedup_gate', dedup_gate FROM f
+      UNION ALL SELECT 4, 'decontamination_gate', decontamination_gate FROM f
     """
 
 
@@ -1704,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": deterministic_sample_sql,
         "stratified_sample": _stratified_sample_oracle_sql(),
         "url_domain_filter": _url_domain_filter_oracle_sql(),
+        "curation_funnel": _curation_funnel_oracle_sql(),
         "decontamination": _decontamination_oracle_sql(),
         "tfidf_top_terms": r"""
           WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),

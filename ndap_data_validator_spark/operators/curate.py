@@ -1,0 +1,136 @@
+"""Corpus curation funnel: the composed end-to-end training-data pass —
+quality gate → language gate → exact-dedup keepers → benchmark
+decontamination → PII redaction — plus a per-stage funnel report, built
+entirely from this engine's already-verified operators (north-star
+composition; the reference's analogue is its per-file validate→publish
+lifecycle, main.py:835-1130, re-expressed over documents instead of files).
+
+Plan shape at 100 TB:
+
+  * the quality/language gates and the PII redaction are scan-level
+    projections/filters (pure Catalyst, codegen) — they fuse into ONE pass;
+  * the dedup-keeper gate is one md5-fingerprint groupBy + a left-semi join
+    (the dedup_exact machinery);
+  * the decontamination gate broadcasts the benchmark n-gram hash set —
+    the corpus never shuffles for it;
+  * the funnel report aggregates stage FLAGS in the same single scan
+    (one groupBy over per-row booleans), so counting survivors per stage
+    costs no extra passes.
+
+Stage flags are computed independently (each "survives stage K" bit is
+relative to the previous gates), making the funnel monotone — the report's
+rows are the classic data-card curation table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.functions.pii import redact_pii
+from ndap_data_validator_spark.functions.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+)
+from ndap_data_validator_spark.operators.decontaminate import (
+    benchmark_ngram_hashes,
+    decontaminate,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en",),
+    decontaminate_n: int = 13,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (curated, funnel):
+
+    * ``curated`` — surviving documents with the PII-redacted text plus the
+      per-doc signals (quality, lang) that gated them;
+    * ``funnel``  — one row per stage (stage, survivors) counting documents
+      alive after each successive gate, in one aggregate.
+    """
+    t = F.col(text_col)
+    flagged = docs.select(
+        F.col(id_col),
+        t.alias(text_col),
+        F.round(quality_score(t), 4).alias("quality"),
+        lang_id(t).alias("lang"),
+        fingerprint(t).alias("__fp"),
+    )
+
+    # exact-dedup keeper: min id per fingerprint (the dedup_exact rule) as a
+    # window min — one shuffle on the 16-byte fingerprint, no self-join
+    from pyspark.sql import Window
+
+    w_fp = Window.partitionBy("__fp")
+    flagged = flagged.select(
+        id_col,
+        text_col,
+        "quality",
+        "lang",
+        (F.col(id_col) == F.min(id_col).over(w_fp)).alias("__is_keeper"),
+    )
+
+    if benchmark is not None:
+        bh = benchmark_ngram_hashes(
+            benchmark, text_col, n=decontaminate_n, seed=seed, hash_fn=hash_fn
+        )
+        contam = decontaminate(
+            docs, bh, text_col, id_col, n=decontaminate_n,
+            seed=seed, hash_fn=hash_fn,
+        ).select(id_col, "contaminated")
+        flagged = flagged.join(contam, id_col, "left").withColumn(
+            "__clean", ~F.coalesce(F.col("contaminated"), F.lit(False))
+        ).drop("contaminated")
+    else:
+        flagged = flagged.withColumn("__clean", F.lit(True))
+
+    s1 = F.col("quality") >= min_quality
+    s2 = s1 & F.col("lang").isin(*languages)
+    s3 = s2 & F.col("__is_keeper")
+    s4 = s3 & F.col("__clean")
+
+    funnel = flagged.agg(
+        F.count(F.lit(1)).alias("ingested"),
+        F.sum(s1.cast("long")).alias("quality_gate"),
+        F.sum(s2.cast("long")).alias("language_gate"),
+        F.sum(s3.cast("long")).alias("dedup_gate"),
+        F.sum(s4.cast("long")).alias("decontamination_gate"),
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("stage"),
+                        F.col(name).alias("survivors"),
+                        F.lit(i).alias("stage_idx"),
+                    )
+                    for i, name in enumerate(
+                        [
+                            "ingested",
+                            "quality_gate",
+                            "language_gate",
+                            "dedup_gate",
+                            "decontamination_gate",
+                        ]
+                    )
+                ]
+            )
+        ).alias("s")
+    ).select("s.stage_idx", "s.stage", "s.survivors")
+
+    curated = flagged.where(s4).select(
+        id_col,
+        redact_pii(F.col(text_col)).alias(text_col),
+        "quality",
+        "lang",
+    )
+    return curated, funnel

@@ -303,5 +303,15 @@ kept = cstore.compact()
 assert cstore.file_count() == 1 and kept > 0
 print("checkpoint compaction:", fb, "files ->", cstore.file_count())
 
+from ndap_data_validator_spark.operators.curate import curate_corpus
+
+curated, funnel = curate_corpus(docs, bench_set, min_quality=0.2,
+                                decontaminate_n=5)
+fr = {r["stage"]: r["survivors"] for r in funnel.collect()}
+assert fr["ingested"] >= fr["quality_gate"] >= fr["language_gate"] \
+       >= fr["dedup_gate"] >= fr["decontamination_gate"]
+assert fr["ingested"] - fr["decontamination_gate"] >= n_bench  # bench docs culled
+print("curation funnel:", fr)
+
 print("JOB OK")
 spark.stop()
