@@ -985,6 +985,54 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality signal (functions/lm.py): train the
+    smoothed LM on documents < 400, score documents < 300 by mean negative
+    log-likelihood (rounded 6dp — sum order is engine-noise). DuckDB replays
+    train + score end to end."""
+    from ndap_data_validator_spark.functions.lm import doc_cross_entropy, unigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") < 400).select("doc_id", "text")
+    docs = d.where(F.col("doc_id") < 300).select("doc_id", "text")
+    lm, consts = unigram_lm(ref, alpha=0.5)
+    return doc_cross_entropy(docs, lm, consts, round_digits=6)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup in its verification configuration (md5
+    seed centroids, 0 Lloyd rounds, rounded cosine — the ann_ivf contract):
+    three planted clones must lose to their originals; everything else
+    keeps. DuckDB replays quantizer → cells → within-cell prune rule."""
+    from ndap_data_validator_spark.operators.similarity import semantic_dedup
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 300)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    clones = emb.where(F.col("vec_id") < 3).withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(1_000_000)).cast("long")
+    )
+    data = emb.unionByName(clones)
+    return semantic_dedup(
+        data, threshold=0.999, n_centroids=8, max_cell_size=100_000,
+        lloyd_iterations=0, hash_fn="md5", round_digits=4,
+    )
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-accounting rollup (operators/curate.py
+    corpus_mixture_report) over documents < 500 — the mixture-planning data
+    card; DuckDB replays lang-ID, both token counts, quality, and shares."""
+    from ndap_data_validator_spark.operators.curate import corpus_mixture_report
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return corpus_mixture_report(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_census": q_null_census,
@@ -1025,6 +1073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "url_domain_filter": q_url_domain_filter,
         "curation_funnel": q_curation_funnel,
+        "lm_cross_entropy": q_lm_cross_entropy,
+        "semantic_dedup": q_semantic_dedup,
+        "corpus_mixture": q_corpus_mixture,
         "frame_sample_plan": q_frame_sample_plan,
         "exact_percentiles": q_exact_percentiles,
         "embedding_neardup": q_embedding_neardup,
@@ -1320,6 +1371,148 @@ def _curation_funnel_oracle_sql(n: int = 8, seed: int = 42) -> str:
       UNION ALL SELECT 2, 'language_gate', language_gate FROM f
       UNION ALL SELECT 3, 'dedup_gate', dedup_gate FROM f
       UNION ALL SELECT 4, 'decontamination_gate', decontamination_gate FROM f
+    """
+
+
+def _lm_cross_entropy_oracle_sql(alpha: float = 0.5) -> str:
+    """DuckDB replay of unigram_lm + doc_cross_entropy: same tokenization,
+    same add-alpha smoothing, and the SAME ln(a)-ln(b) formulation (not
+    ln(a/b)) so the doubles agree bit-for-bit before the 6dp round."""
+    toks = (
+        r"CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[] "
+        r"ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), "
+        r"x -> lower(x)) END"
+    )
+    return rf"""
+      WITH ref AS (SELECT text FROM documents WHERE doc_id < 400),
+      docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      rt AS (SELECT unnest({toks}) AS token FROM ref),
+      counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM rt GROUP BY token),
+      consts AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                        CAST(COUNT(*) AS BIGINT) AS vocab FROM counts),
+      lm AS (SELECT token,
+                    ln(cnt + {alpha}) - ln(total + {alpha} * (vocab + 1)) AS logp
+             FROM counts, consts),
+      unk AS (SELECT ln({alpha}) - ln(total + {alpha} * (vocab + 1)) AS unk_logp
+              FROM consts),
+      dt AS (SELECT doc_id, unnest({toks}) AS token FROM docs),
+      scored AS (SELECT dt.doc_id, COALESCE(lm.logp, unk.unk_logp) AS lp
+                 FROM dt LEFT JOIN lm USING (token), unk),
+      per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     ROUND(-AVG(lp), 6) AS cross_entropy
+              FROM scored GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+             per.cross_entropy
+      FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN per USING (doc_id)
+    """
+
+
+def _semantic_dedup_oracle_sql(
+    n_centroids: int = 8, seed: int = 42, threshold: float = 0.999
+) -> str:
+    """DuckDB replay of semantic_dedup(lloyd_iterations=0, hash_fn='md5'):
+    md5 seed-centroid selection, nearest-cell assignment (ties → smaller
+    cell, as assign_cells' max_by struct), within-cell lower-id prune rule
+    on the 4dp-rounded cosine. max_cell_size is above the input size, so
+    full within-cell pairs — no star branch to replay."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 300),
+      e AS (SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 1000000, v FROM base WHERE vec_id < 3),
+      seeds AS (SELECT vec_id, v FROM e
+                ORDER BY {P('CAST(vec_id AS VARCHAR)', seed)} LIMIT {n_centroids}),
+      cents AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+                       v AS centroid FROM seeds),
+      scored AS (SELECT e.vec_id, e.v, c.cell_id,
+                        {cos('e.v', 'c.centroid')} AS cc FROM e, cents c),
+      cells AS (SELECT vec_id, v, cell_id FROM (
+                  SELECT vec_id, v, cell_id,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY cc DESC, cell_id ASC) AS rn
+                  FROM scored) WHERE rn = 1),
+      pruned AS (SELECT DISTINCT b.vec_id
+                 FROM cells a JOIN cells b
+                   ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                 WHERE ROUND({cos('a.v', 'b.v')}, 4) >= {threshold})
+      SELECT c.vec_id, c.cell_id, (p.vec_id IS NULL) AS is_keeper
+      FROM cells c LEFT JOIN pruned p ON c.vec_id = p.vec_id
+    """
+
+
+def _corpus_mixture_oracle_sql() -> str:
+    """DuckDB replay of corpus_mixture_report: lang-ID argmax (earlier
+    marker language wins ties), ws/bpe token counts, UNROUNDED per-doc
+    quality averaged then rounded, window token share over the grouped
+    (language-sized) result."""
+    from ndap_data_validator_spark.functions.textstats import (
+        BPE_ISH_TOKEN_RE,
+        LANG_MARKERS,
+        _STOPWORDS_EN,
+    )
+
+    sw = "[" + ",".join(f"'{w}'" for w in _STOPWORDS_EN) + "]"
+    hits = ", ".join(
+        "len(list_filter(ltoks, x -> list_contains(["
+        + ",".join(f"'{w}'" for w in ws_)
+        + f"], x))) AS {lang}"
+        for lang, ws_ in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    label_branches = []
+    for i, lang in enumerate(langs):
+        laters = langs[i + 1:]
+        cond = f"{lang} > 0" + "".join(f" AND {lang} >= {o}" for o in laters)
+        label_branches.append(f"WHEN {cond} THEN '{lang}'")
+    label = "CASE " + " ".join(label_branches) + " ELSE 'und' END"
+    bpe_pat = BPE_ISH_TOKEN_RE.replace("'", "''")
+    return rf"""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      t AS (SELECT doc_id, text,
+              CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+            FROM d),
+      t2 AS (SELECT doc_id, text, toks,
+               list_transform(toks, x -> lower(x)) AS ltoks,
+               COALESCE(CASE WHEN len(toks) > 0
+                 THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                      / len(toks) END, 0.0) AS mwl
+             FROM t),
+      f AS (SELECT doc_id,
+              LEAST(len(ltoks)::DOUBLE / 20.0, 1.0) * 0.3
+              + COALESCE(CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^\p{{L}}]', '', 'g'))::DOUBLE
+                       / length(text) END, 0.0) * 0.3
+              + LEAST(COALESCE(CASE WHEN len(ltoks) > 0
+                  THEN len(list_filter(ltoks, x -> list_contains({sw}, x)))::DOUBLE
+                       / len(ltoks) END, 0.0) * 4, 1.0) * 0.2
+              + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.3 END) * 0.2
+                AS q,
+              len(toks) AS ws,
+              CASE WHEN text IS NULL THEN NULL
+                   ELSE len(regexp_extract_all(text, '{bpe_pat}')) END AS bpe,
+              {hits}
+            FROM t2),
+      labeled AS (SELECT doc_id, q, ws, bpe, {label} AS lang FROM f),
+      grouped AS (SELECT lang,
+                         CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(ws) AS BIGINT) AS tokens_ws,
+                         CAST(SUM(bpe) AS BIGINT) AS tokens_bpe,
+                         ROUND(AVG(q), 4) AS avg_quality
+                  FROM labeled GROUP BY lang)
+      SELECT lang, n_docs, tokens_ws, tokens_bpe, avg_quality,
+             ROUND(tokens_ws::DOUBLE / SUM(tokens_ws) OVER (), 4) AS token_share
+      FROM grouped
     """
 
 
@@ -1816,6 +2009,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle_sql(),
         "url_domain_filter": _url_domain_filter_oracle_sql(),
         "curation_funnel": _curation_funnel_oracle_sql(),
+        "lm_cross_entropy": _lm_cross_entropy_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "corpus_mixture": _corpus_mixture_oracle_sql(),
         "decontamination": _decontamination_oracle_sql(),
         "tfidf_top_terms": r"""
           WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),

@@ -32,11 +32,54 @@ from ndap_data_validator_spark.functions.textstats import (
     fingerprint,
     lang_id,
     quality_score,
+    token_count_bpe,
+    token_count_ws,
 )
 from ndap_data_validator_spark.operators.decontaminate import (
     benchmark_ngram_hashes,
     decontaminate,
 )
+
+
+def corpus_mixture_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Token-accounting rollup for mixture planning — the per-language data
+    card: (lang, n_docs, tokens_ws, tokens_bpe, avg_quality, token_share).
+
+    One scan: the language/quality/token features are a single codegen'd
+    projection, the rollup is one groupBy(lang) (partial agg map-side, the
+    shuffle carries one row per language per map partition), and
+    ``token_share`` is a window over the language-sized result (a handful of
+    rows — no second pass over the corpus)."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    feats = docs.select(
+        lang_id(t).alias("lang"),
+        token_count_ws(t).alias("__ws"),
+        token_count_bpe(t).alias("__bpe"),
+        quality_score(t).alias("__q"),
+    )
+    grouped = feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ws").alias("tokens_ws"),
+        F.sum(F.col("__bpe").cast("long")).alias("tokens_bpe"),
+        F.round(F.avg("__q"), round_digits).alias("avg_quality"),
+    )
+    w = Window.partitionBy()
+    return grouped.select(
+        "lang",
+        "n_docs",
+        "tokens_ws",
+        "tokens_bpe",
+        "avg_quality",
+        F.round(
+            F.col("tokens_ws") / F.sum("tokens_ws").over(w), round_digits
+        ).alias("token_share"),
+    )
 
 
 def curate_corpus(

@@ -311,6 +311,72 @@ def ivf_topk(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int = 512,
+    lloyd_iterations: int = 1,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with the IVF coarse quantizer, then inside each cell
+    prune every vector that has a LOWER-id cell-mate with cosine ≥
+    ``threshold``. Returns (id, cell_id, is_keeper) for every input row.
+
+    This is the deterministic distributed reduction of SemDeDup's greedy
+    ε-ball sweep: "exists an earlier keeper within ε in my cluster" is
+    order-free (no sequential dependence), so it parallelizes as one
+    within-cell candidate-pair join. Differences from the sequential greedy
+    are confined to chains (a~b, b~c, a̸~c keeps {a, c}; greedy may keep
+    {a, c} or {a, b} depending on visit order — ours is the fixed id
+    order).
+
+    Plan shape at 100 TB: centroids broadcast; assignment is one groupBy;
+    the within-cell self-join moves only (id, cell_id) — vectors re-join by
+    id afterwards — and cells over ``max_cell_size`` degrade to O(n)
+    anchor-star pairs (``_bucket_pairs``), so an embedding flood cannot
+    create a quadratic join cell. Star-capping can miss a prune edge whose
+    anchor is dissimilar (recall, not correctness, degrades — pruned set
+    shrinks, never grows wrongly).
+
+    ``hash_fn='md5'`` + ``lloyd_iterations=0`` + ``round_digits`` is the
+    pure-SQL verification configuration (same contract as ``ivf_topk``).
+    """
+    from ndap_data_validator_spark.operators.dedup import _bucket_pairs
+
+    cents = ivf_centroids(
+        df, n_centroids, id_col, vec_col,
+        lloyd_iterations=lloyd_iterations, seed=seed, hash_fn=hash_fn,
+    )
+    cells = assign_cells(df, cents, id_col, vec_col).select(id_col, "cell_id")
+    pairs = _bucket_pairs(
+        cells, id_col, ["cell_id"], ("id_a", "id_b"), max_cell_size
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    score = cosine(F.col("__va"), F.col("__vb"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    pruned = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(score >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return cells.join(pruned, id_col, "left").select(
+        id_col,
+        "cell_id",
+        F.coalesce(~F.col("__pruned"), F.lit(True)).alias("is_keeper"),
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,

@@ -62,3 +62,24 @@ def test_curation_redacts_pii_in_survivors(spark):
     curated, _ = curate_corpus(docs, None, min_quality=0.3)
     out = curated.first()["text"]
     assert "<EMAIL>" in out and "@" not in out
+
+
+def test_corpus_mixture_report(spark):
+    from ndap_data_validator_spark.operators.curate import corpus_mixture_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is with that thing"),   # en, 9 ws tokens
+            (1, "the sun and the moon is up with that"),     # en, 9
+            (2, "der hund und die katze ist mit dem ball"),  # de, 9
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["lang"]: r for r in corpus_mixture_report(docs).collect()}
+    assert set(rows) == {"en", "de"}
+    assert rows["en"]["n_docs"] == 2 and rows["de"]["n_docs"] == 1
+    assert rows["en"]["tokens_ws"] == 18 and rows["de"]["tokens_ws"] == 9
+    assert rows["en"]["token_share"] == 0.6667
+    assert rows["de"]["token_share"] == 0.3333
+    assert rows["en"]["tokens_bpe"] >= rows["en"]["tokens_ws"]
+    assert 0.0 <= rows["en"]["avg_quality"] <= 1.0

@@ -192,3 +192,41 @@ def test_lsh_topk_bucket_cap_bounds_candidates(spark):
         assert all(abs(r["cos"] - 1.0) < 1e-9 for r in qrows)
     # candidate bound: ranks only go as deep as the capped bucket allows
     assert out.count() <= 2 * k
+
+
+def test_semantic_dedup_prunes_planted_clones(spark, emb):
+    """Plant exact clones of two vectors; semantic_dedup keeps the original
+    (lower id) and prunes every clone; everything else is a keeper."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).where(F.col("vec_id") < 80)
+    clones = base.where(F.col("vec_id") < 2).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    data = base.unionByName(clones)
+    out = S.semantic_dedup(data, threshold=0.999, n_centroids=4)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 82  # every input row classified
+    assert not rows[1_000_000]["is_keeper"] and not rows[1_000_001]["is_keeper"]
+    assert rows[0]["is_keeper"] and rows[1]["is_keeper"]
+    # clone lands in the same cell as its original (identical embedding)
+    assert rows[1_000_000]["cell_id"] == rows[0]["cell_id"]
+    # nothing else pruned at a 0.999 threshold on random vectors
+    pruned = {k for k, r in rows.items() if not r["is_keeper"]}
+    assert pruned == {1_000_000, 1_000_001}
+
+
+def test_semantic_dedup_flood_is_star_capped(spark):
+    """An identical-embedding flood collapses to one keeper via O(n) star
+    pairs — no quadratic cell join."""
+    n = 500
+    flood = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0)).alias("embedding"),
+    )
+    out = S.semantic_dedup(
+        flood, threshold=0.99, n_centroids=2, max_cell_size=16
+    ).collect()
+    keepers = [r["vec_id"] for r in out if r["is_keeper"]]
+    assert keepers == [0]
+    assert len(out) == n

@@ -313,5 +313,52 @@ assert fr["ingested"] >= fr["quality_gate"] >= fr["language_gate"] \
 assert fr["ingested"] - fr["decontamination_gate"] >= n_bench  # bench docs culled
 print("curation funnel:", fr)
 
+from ndap_data_validator_spark.functions.lm import doc_cross_entropy, unigram_lm
+from ndap_data_validator_spark.operators.curate import corpus_mixture_report
+
+lm, consts = unigram_lm(docs)
+scored = doc_cross_entropy(docs.limit(500), lm, consts)
+ces = scored.where(F.col("cross_entropy").isNotNull())
+lo, hi = ces.agg(F.min("cross_entropy"), F.max("cross_entropy")).first()
+assert lo is not None and 0.0 < lo <= hi, (lo, hi)
+gibberish = spark.createDataFrame(
+    [("g1", "zzqx wvvk pplm qrrt")], "doc_id string, text string"
+)
+g_ce = doc_cross_entropy(gibberish, lm, consts).first()["cross_entropy"]
+med = ces.agg(F.expr("percentile(cross_entropy, 0.5)")).first()[0]
+assert g_ce > med, (g_ce, med)  # all-unknown text scores worse than median
+print("unigram-LM cross-entropy: median", round(med, 3), "gibberish", round(g_ce, 3))
+
+mix = corpus_mixture_report(docs)
+mrows = mix.collect()
+assert abs(sum(r["token_share"] for r in mrows) - 1.0) < 0.01
+assert sum(r["n_docs"] for r in mrows) == docs.count()
+print("corpus mixture:", [(r["lang"], r["n_docs"]) for r in mrows])
+
+from ndap_data_validator_spark.operators.similarity import semantic_dedup
+
+# deterministic subset (limit() re-evaluates differently per branch of the
+# multi-reference dedup plan)
+vecs = docs.where(
+    F.col("doc_id").isNotNull()  # xxhash64(NULL) hashes the seed, not NULL
+    & (F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+).dropDuplicates(["doc_id"]).select(
+    F.col("doc_id").alias("vec_id"),
+    F.array(
+        F.xxhash64("text").cast("double") % 1000,
+        F.xxhash64("text", F.lit(1)).cast("double") % 1000,
+        F.xxhash64("text", F.lit(2)).cast("double") % 1000,
+    ).alias("embedding"),
+)
+n_vecs = vecs.count()
+sclone = vecs.orderBy("vec_id").limit(1).select(
+    F.concat(F.lit("zz-"), F.col("vec_id")).alias("vec_id"), "embedding"
+)
+sd = semantic_dedup(vecs.unionByName(sclone), threshold=0.999, n_centroids=4)
+n_all = sd.count()
+n_keep = sd.where("is_keeper").count()
+assert n_all == n_vecs + 1 and n_keep < n_all, (n_all, n_vecs, n_keep)
+print("semantic dedup:", n_all, "vectors ->", n_keep, "keepers")
+
 print("JOB OK")
 spark.stop()
