@@ -66,6 +66,26 @@ def _decontam(spark, df):
     return decontaminate(docs, benchmark_ngram_hashes(bench, n=5), n=5)
 
 
+def _curation_funnel(spark, df):
+    from ndap_data_validator_spark.operators.curate import curate_corpus
+
+    docs = df.where(F.col("text").isNotNull()).select(
+        F.col("conv_id").alias("doc_id"), F.col("text")
+    )
+    _, funnel = curate_corpus(docs, None)
+    return funnel
+
+
+def _lm_score(spark, df):
+    from ndap_data_validator_spark.functions.lm import doc_cross_entropy, unigram_lm
+
+    docs = df.where(F.col("text").isNotNull()).select(
+        F.col("conv_id").alias("doc_id"), F.col("text")
+    )
+    lm, consts = unigram_lm(docs)
+    return doc_cross_entropy(docs, lm, consts)
+
+
 def main() -> None:
     spark = get_spark(app_name="dump-plans", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -171,6 +191,26 @@ def main() -> None:
             "Per-stratum integer thresholds fold into ONE scan-level Filter "
             "(CASE over the rate map + the hash gate) — no shuffle, no "
             "sampling state, pushdown applies.",
+        ),
+        (
+            "Curation funnel (single-scan survivor report)",
+            _curation_funnel(spark, df),
+            "All per-stage gate FLAGS (quality, language, dedup-keeper) are "
+            "computed in one projection over one scan; the only exchange is "
+            "the fingerprint window for the exact-dedup keeper bit; the "
+            "5-stage survivor table is ONE aggregate over the flags "
+            "(map-side partial), exploded to rows — counting survivors per "
+            "stage costs no extra passes over the corpus.",
+        ),
+        (
+            "Unigram-LM cross-entropy (train + score)",
+            _lm_score(spark, df),
+            "Training is explode → groupBy(token) with map-side partial "
+            "aggregation (the shuffle carries one row per distinct token "
+            "per map partition). Scoring joins the vocabulary-sized LM "
+            "table — AQE picks broadcast when it fits — and the per-doc "
+            "mean is one groupBy(doc). The smoothed UNK floor rides a "
+            "1-row broadcast; no second pass, no Python.",
         ),
     ]
 
