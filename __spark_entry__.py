@@ -1033,6 +1033,30 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mixture_report(d)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/pack.py): sliding-window token
+    chunks (max 32, overlap 8) over documents < 200 — shuffle-free
+    projection+generate; DuckDB replays the stride arithmetic and slices."""
+    from ndap_data_validator_spark.operators.pack import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return chunk_documents(d, max_tokens=32, overlap=8)
+
+
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-cut packing plan over the chunked documents:
+    md5-portable shard routing (4 shards), 64-token bins, per-shard
+    running-sum window — DuckDB replays routing, cumsum, bin/offset/split."""
+    from ndap_data_validator_spark.operators.pack import (
+        chunk_documents,
+        pack_manifest,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    chunks = chunk_documents(d, max_tokens=32).drop("chunk_text")
+    return pack_manifest(chunks, budget=64, n_shards=4, hash_fn="md5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_census": q_null_census,
@@ -1076,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_cross_entropy": q_lm_cross_entropy,
         "semantic_dedup": q_semantic_dedup,
         "corpus_mixture": q_corpus_mixture,
+        "doc_chunks": q_doc_chunks,
+        "pack_manifest": q_pack_manifest,
         "frame_sample_plan": q_frame_sample_plan,
         "exact_percentiles": q_exact_percentiles,
         "embedding_neardup": q_embedding_neardup,
@@ -1513,6 +1539,67 @@ def _corpus_mixture_oracle_sql() -> str:
       SELECT lang, n_docs, tokens_ws, tokens_bpe, avg_quality,
              ROUND(tokens_ws::DOUBLE / SUM(tokens_ws) OVER (), 4) AS token_share
       FROM grouped
+    """
+
+
+def _chunk_cte_sql(max_tokens: int, overlap: int, max_doc_id: int = 200) -> str:
+    """Shared DuckDB CTE replaying chunk_documents' stride arithmetic:
+    yields (doc_id, chunk_idx, piece) with piece = the chunk's token list.
+    DuckDB list slices are 1-based inclusive and truncate past the end —
+    matching Spark's slice(toks, start+1, max_tokens)."""
+    stride = max_tokens - overlap
+    return rf"""
+      t AS (SELECT doc_id,
+              CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+            FROM documents WHERE doc_id < {max_doc_id}),
+      nc AS (SELECT doc_id, toks, len(toks) AS n,
+                    CASE WHEN len(toks) > 0
+                         THEN CAST(FLOOR((len(toks) - 1) / {stride}.0) AS BIGINT) + 1
+                         ELSE 0 END AS n_chunks
+             FROM t),
+      ch AS (SELECT doc_id,
+                    CAST(ci AS INT) AS chunk_idx,
+                    toks[ci * {stride} + 1 : ci * {stride} + {max_tokens}] AS piece
+             FROM nc, unnest(generate_series(0, CAST(n_chunks AS INT) - 1)) AS u(ci)
+             WHERE n_chunks > 0)"""
+
+
+def _doc_chunks_oracle_sql() -> str:
+    return f"""
+      WITH {_chunk_cte_sql(32, 8)}
+      SELECT doc_id, chunk_idx,
+             CAST(len(piece) AS INT) AS n_tokens,
+             array_to_string(piece, ' ') AS chunk_text
+      FROM ch
+    """
+
+
+def _pack_manifest_oracle_sql(
+    budget: int = 64, n_shards: int = 4, seed: int = 42
+) -> str:
+    """DuckDB replay of pack_manifest over the 32-token chunking: portable
+    md5 shard routing, per-shard running sum ordered by (doc_id,
+    chunk_idx), floor/mod bin arithmetic, straddle flag."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    return f"""
+      WITH {_chunk_cte_sql(32, 0)},
+      sh AS (SELECT doc_id, chunk_idx, CAST(len(piece) AS INT) AS n_tokens,
+                    {P('CAST(doc_id AS VARCHAR)', seed)} % {n_shards} AS shard
+             FROM ch),
+      c AS (SELECT shard, doc_id, chunk_idx, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY shard
+                                       ORDER BY doc_id, chunk_idx
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) - n_tokens AS prefix
+            FROM sh)
+      SELECT shard,
+             CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin_id,
+             doc_id, chunk_idx, n_tokens,
+             CAST(prefix % {budget} AS BIGINT) AS "offset",
+             (prefix % {budget} + n_tokens) > {budget} AS split
+      FROM c
     """
 
 
@@ -2012,6 +2099,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_cross_entropy": _lm_cross_entropy_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "corpus_mixture": _corpus_mixture_oracle_sql(),
+        "doc_chunks": _doc_chunks_oracle_sql(),
+        "pack_manifest": _pack_manifest_oracle_sql(),
         "decontamination": _decontamination_oracle_sql(),
         "tfidf_top_terms": r"""
           WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),

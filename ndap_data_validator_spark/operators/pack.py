@@ -1,0 +1,134 @@
+"""Sequence chunking and packing for LLM pretraining pipelines.
+
+Two operators a training-data pipeline needs after curation:
+
+* ``chunk_documents`` — split each document into context-window-sized token
+  chunks (optionally overlapping, sliding-window style). Pure Catalyst:
+  the chunk starts are a ``sequence`` array, ``posexplode`` fans them out,
+  ``slice`` + ``concat_ws`` rebuild the chunk text — one projection, one
+  generate, zero shuffles, codegen end to end.
+
+* ``pack_manifest`` — the GPT-style concat-and-cut packing plan: within
+  each output shard, documents are laid head-to-tail in a deterministic
+  order and cut every ``budget`` tokens; each row of the manifest says
+  which bin a chunk lands in, at what offset, and whether it straddles a
+  cut point. The window is partitioned BY SHARD (the production shape:
+  shards are hash-prefix buckets sized to thousands of bins), never
+  global — at 100 TB no task ever sorts more than one shard, and shards
+  are embarrassingly parallel.
+
+Both are manifest-producing (ids + offsets, not re-materialized text):
+at scale the writer job joins the manifest back to payloads, so the
+shuffle carries bookkeeping columns only.
+
+No counterpart in the reference (tabular CSVs); these extend its
+validate→publish lifecycle to the token-budget domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.functions.textstats import words
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's whitespace tokens into chunks of
+    ``max_tokens`` with ``overlap`` tokens shared between consecutive
+    chunks (stride = max_tokens - overlap). Returns
+    (id, chunk_idx, n_tokens, chunk_text); empty documents produce no
+    rows. Deterministic, order-free, shuffle-free."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = words(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / F.lit(stride)) + 1
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    ex = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(
+            F.when(n > 0, starts).otherwise(F.array().cast("array<long>"))
+        ).alias("chunk_idx", "__start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start") + 1, max_tokens)
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def pack_manifest(
+    chunks: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+    order_cols: tuple[str, ...] | None = None,
+    hash_fn: str = "xxhash64",
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-and-cut packing plan: deterministically route each row to one
+    of ``n_shards`` shards by hashing ``id_col``, lay the shard's rows
+    head-to-tail in ``order_cols`` order (default: id, then any chunk_idx
+    present), and cut every ``budget`` tokens.
+
+    Returns (shard, bin_id, id, [chunk_idx], n_tokens, offset, split)
+    where ``offset`` is the position of the row's first token inside its
+    bin and ``split`` marks rows straddling a cut (their tail flows into
+    the next bin — the standard GPT-style packing semantics, where
+    document boundaries do not align with sequence boundaries).
+
+    Scale shape: ONE exchange on the shard key; each task sorts one shard
+    and runs a single running-sum window; bins per shard =
+    shard_tokens/budget. ``hash_fn='md5'`` uses the portable hash so an
+    external engine can replay shard routing bit-for-bit."""
+    if order_cols is None:
+        order_cols = tuple(
+            [id_col] + (["chunk_idx"] if "chunk_idx" in chunks.columns else [])
+        )
+    if hash_fn == "md5":
+        from ndap_data_validator_spark.functions.porthash import portable_hash64
+
+        shard = F.pmod(portable_hash64(F.col(id_col), seed=seed), F.lit(n_shards))
+    else:
+        shard = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(n_shards)
+        )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(ntok_col).over(w)
+    prefix = (cum - F.col(ntok_col)).alias("__prefix")
+    out = chunks.withColumn("shard", shard).select(
+        "shard",
+        *order_cols,
+        ntok_col,
+        prefix,
+    )
+    return out.select(
+        "shard",
+        F.floor(F.col("__prefix") / budget).alias("bin_id"),
+        *order_cols,
+        ntok_col,
+        F.pmod(F.col("__prefix"), F.lit(budget)).alias("offset"),
+        (
+            (F.pmod(F.col("__prefix"), F.lit(budget)) + F.col(ntok_col))
+            > F.lit(budget)
+        ).alias("split"),
+    )

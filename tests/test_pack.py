@@ -1,0 +1,82 @@
+"""Chunking + concat-and-cut packing (operators/pack.py): hand-computed
+fixtures for chunk boundaries, overlap strides, bin/offset/split math."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.operators.pack import chunk_documents, pack_manifest
+
+
+def test_chunk_documents_exact_boundaries(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}  # empty/null docs produce no rows
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_tokens"] for r in c1] == [4, 4, 2]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[2]["chunk_text"] == "t8 t9"
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert by_doc[2][0]["chunk_text"] == "a b"
+
+
+def test_chunk_documents_overlap_stride(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(docs, max_tokens=4, overlap=1).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 3: starts 0,3,6,9
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 1]
+    assert out[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert out[3]["chunk_text"] == "t9"
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_pack_manifest_bins_offsets_splits(spark):
+    rows = [(1, 5), (2, 4), (3, 3)]
+    chunks = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = {
+        r["doc_id"]: r
+        for r in pack_manifest(chunks, budget=6, n_shards=1).collect()
+    }
+    assert out[1]["bin_id"] == 0 and out[1]["offset"] == 0 and not out[1]["split"]
+    assert out[2]["bin_id"] == 0 and out[2]["offset"] == 5 and out[2]["split"]
+    assert out[3]["bin_id"] == 1 and out[3]["offset"] == 3 and not out[3]["split"]
+    assert all(r["shard"] == 0 for r in out.values())
+
+
+def test_pack_manifest_sharded_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "w " * (i % 7)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, max_tokens=5)
+    a = sorted(map(tuple, pack_manifest(chunks, budget=16, n_shards=8).collect()))
+    b = sorted(map(tuple, pack_manifest(chunks, budget=16, n_shards=8).collect()))
+    assert a == b and len(a) > 0
+    # every (shard, bin) holds at most budget tokens of non-split starts:
+    # offsets stay inside the budget by construction
+    assert all(0 <= r[5] < 16 for r in a)  # offset column
+    # token-conservation: total tokens in == total tokens in manifest
+    tot_in = chunks.agg(F.sum("n_tokens")).first()[0]
+    assert sum(r[4] for r in a) == tot_in  # n_tokens column
+
+
+def test_pack_manifest_md5_portable_routing(spark):
+    chunks = spark.createDataFrame(
+        [(i, 3) for i in range(50)], "doc_id long, n_tokens int"
+    )
+    out = pack_manifest(chunks, budget=9, n_shards=4, hash_fn="md5").collect()
+    assert len(out) == 50
+    assert {r["shard"] for r in out} <= {0, 1, 2, 3}

@@ -360,5 +360,17 @@ n_keep = sd.where("is_keeper").count()
 assert n_all == n_vecs + 1 and n_keep < n_all, (n_all, n_vecs, n_keep)
 print("semantic dedup:", n_all, "vectors ->", n_keep, "keepers")
 
+from ndap_data_validator_spark.operators.pack import chunk_documents, pack_manifest
+
+chunks = chunk_documents(docs.where(F.col("doc_id").isNotNull()), max_tokens=16)
+man = pack_manifest(chunks.drop("chunk_text"), budget=64, n_shards=8)
+tot_in = chunks.agg(F.sum("n_tokens")).first()[0]
+tot_out = man.agg(F.sum("n_tokens")).first()[0]
+assert tot_in == tot_out and tot_in > 0, (tot_in, tot_out)
+bad = man.where((F.col("offset") < 0) | (F.col("offset") >= 64)).count()
+assert bad == 0
+print("chunk+pack:", chunks.count(), "chunks,", tot_in, "tokens,",
+      man.select("shard", "bin_id").distinct().count(), "bins")
+
 print("JOB OK")
 spark.stop()
