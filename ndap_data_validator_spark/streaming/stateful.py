@@ -163,3 +163,27 @@ def sessionize_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: the first arrival of each
+    key passes through; re-arrivals within the watermark window are dropped
+    (`dropDuplicatesWithinWatermark`, the built-in whose per-key state is
+    evicted once the watermark passes — unlike plain ``dropDuplicates`` on
+    a stream, whose state grows with every key ever seen).
+
+    This is the streaming twin of the batch ``dedup_exact`` /
+    ``duplicate_keys`` operators: the same (conv_id, turn_idx) uniqueness
+    contract (north_rule), enforced at ingest time with O(keys-per-window)
+    memory — the property that matters on an unbounded transcript stream.
+    Late duplicates beyond the watermark are the documented residual risk
+    (identical to every watermarked-state trade-off); a periodic batch
+    ``duplicate_keys`` sweep closes the gap."""
+    return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -265,3 +265,40 @@ def test_sessionize_stream_equals_batch_rollup(spark, tmp_path):
         for r in session_rollup(df, timeout_sec=900).collect()
     }
     assert folded == expected and len(expected) > 12
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark twin of batch dedup_exact: duplicates
+    split across micro-batches (within the watermark) emit exactly once."""
+    from ndap_data_validator_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    f1 = [("c1", 0, "2026-01-01 00:00:00"), ("c1", 1, "2026-01-01 00:00:30"),
+          ("c2", 0, "2026-01-01 00:00:10")]
+    f2 = [("c1", 0, "2026-01-01 00:01:00"),   # dup of batch-1 key
+          ("c2", 0, "2026-01-01 00:00:10"),   # exact dup row
+          ("c3", 0, "2026-01-01 00:02:00")]   # new key
+    for rows in [f1, f2]:
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, ts string").select(
+            "conv_id", "turn_idx", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_stream(stream, key_cols=("conv_id", "turn_idx"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT conv_id, turn_idx FROM deduped").collect()
+    keys = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
+    assert keys == [("c1", 0), ("c1", 1), ("c2", 0), ("c3", 0)]

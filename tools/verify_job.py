@@ -372,5 +372,33 @@ assert bad == 0
 print("chunk+pack:", chunks.count(), "chunks,", tot_in, "tokens,",
       man.select("shard", "bin_id").distinct().count(), "bins")
 
+import tempfile as _tf
+
+from ndap_data_validator_spark.streaming.stateful import dedup_stream
+
+with _tf.TemporaryDirectory() as _sd:
+    src = f"{_sd}/src"
+    dup_rows = df.where(F.col("conv_id").isNotNull() & F.col("ts").isNotNull()) \
+        .select("conv_id", "turn_idx", "ts").limit(500)
+    dup_rows.coalesce(1).write.mode("append").parquet(src)
+    dup_rows.coalesce(1).write.mode("append").parquet(src)  # every key twice
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        dedup_stream(stream).writeStream.format("memory").queryName("vdedup")
+        .outputMode("append").option("checkpointLocation", f"{_sd}/ck")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    n_in = dup_rows.count()
+    n_out = spark.sql("SELECT COUNT(*) FROM vdedup").first()[0]
+    n_keys = spark.sql(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT conv_id, turn_idx FROM vdedup)"
+    ).first()[0]
+    assert n_out == n_keys <= n_in, (n_in, n_out, n_keys)
+    print("stream dedup:", 2 * n_in, "arrivals ->", n_out, "unique emissions")
+
 print("JOB OK")
 spark.stop()
