@@ -857,7 +857,16 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     diffing — event types present in the first half of the data but
     missing (per occurrence) from the second half."""
     e = _t(spark, sf_dir, "events")
-    half = e.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    # split point = exact median via the DISTRIBUTED order-statistic plan
+    # (stats.py:118) — NOT single-group percentile(), whose aggregation
+    # buffer accumulates every event_id in one task (the anti-pattern
+    # exact_percentiles eliminated; an OOM-shaped stage at 100×). The
+    # .first() here collects ONE precomputed row, not data.
+    from ndap_data_validator_spark.operators.stats import (
+        exact_percentiles_distributed,
+    )
+
+    half = exact_percentiles_distributed(e, "event_id", (0.5,)).first()["p50"]
     a = e.where(F.col("event_id") <= half).select("event_type", (F.col("user_id") % 5).alias("bucket"))
     b = e.where(F.col("event_id") > half).select("event_type", (F.col("user_id") % 5).alias("bucket"))
     return a.exceptAll(b).groupBy("event_type", "bucket").agg(
@@ -1291,10 +1300,18 @@ def _url_domain_filter_oracle_sql() -> str:
     from ndap_data_validator_spark.functions.urls import URL_PATTERN
 
     pat = URL_PATTERN.replace("'", "''")
+    # host = authority after the last '@' (userinfo stripped), before the
+    # first ':' (port stripped), lowercased — extract_domains' contract
     dom = (
         "list_distinct(list_transform(regexp_extract_all(text, '{p}'), "
-        "u -> lower(regexp_replace(u, '^https?://([^/:?#]+).*$', '\\1'))))"
+        "u -> string_split(string_split(lower(regexp_replace(u, "
+        "'^https?://([^/?#]+).*$', '\\1')), '@')[-1], ':')[1]))"
     ).format(p=pat)
+    blocked = ["site-3.example.com", "site-7.example.com"]
+    # label-suffix rule: host = d OR host endswith '.' || d
+    hit = " OR ".join(
+        f"h = '{d}' OR suffix(h, '.{d}')" for d in blocked
+    )
     return f"""
       WITH d AS (
         SELECT doc_id,
@@ -1310,8 +1327,7 @@ def _url_domain_filter_oracle_sql() -> str:
              COALESCE(array_to_string(list_sort(domains), ','), '')
                AS domains_csv  -- DuckDB: array_to_string([]) is NULL
       FROM x
-      WHERE len(list_intersect(domains,
-              ['site-3.example.com', 'site-7.example.com'])) = 0
+      WHERE len(list_filter(domains, h -> {hit})) = 0
     """
 
 
@@ -1555,7 +1571,8 @@ def _chunk_cte_sql(max_tokens: int, overlap: int, max_doc_id: int = 200) -> str:
             FROM documents WHERE doc_id < {max_doc_id}),
       nc AS (SELECT doc_id, toks, len(toks) AS n,
                     CASE WHEN len(toks) > 0
-                         THEN CAST(FLOOR((len(toks) - 1) / {stride}.0) AS BIGINT) + 1
+                         THEN CAST(FLOOR((GREATEST(len(toks) - {overlap}, 1) - 1)
+                                         / {stride}.0) AS BIGINT) + 1
                          ELSE 0 END AS n_chunks
              FROM t),
       ch AS (SELECT doc_id,

@@ -19,7 +19,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 URL_PATTERN = r"https?://[A-Za-z0-9._~:/?#\[\]@!$&'()*+,;=%-]+"
-_DOMAIN_FROM_URL = r"^https?://([^/:?#]+).*$"
+# full authority (may contain user:pass@ and :port); host extraction strips
+# both below — capturing [^/:?#]+ here would truncate 'u:p@host' at the ':'
+_AUTHORITY_FROM_URL = r"^https?://([^/?#]+).*$"
 
 
 def extract_urls(col: Column) -> Column:
@@ -28,13 +30,31 @@ def extract_urls(col: Column) -> Column:
 
 
 def extract_domains(col: Column) -> Column:
-    """Distinct lowercased domains of every URL in the text."""
-    return F.array_distinct(
-        F.transform(
-            extract_urls(col),
-            lambda u: F.lower(F.regexp_replace(u, _DOMAIN_FROM_URL, "$1")),
-        )
-    )
+    """Distinct lowercased HOSTS of every URL in the text. Userinfo and
+    port are stripped (``http://u:p@evil.com:8080`` yields ``evil.com``,
+    not ``u``/``u:p@evil.com``) — host = authority after the last ``@``,
+    before the first ``:`` — so credentials can't smuggle a blocked domain
+    past the gate."""
+
+    def _host(u: Column) -> Column:
+        auth = F.lower(F.regexp_replace(u, _AUTHORITY_FROM_URL, "$1"))
+        no_user = F.element_at(F.split(auth, "@"), -1)
+        return F.element_at(F.split(no_user, ":"), 1)
+
+    return F.array_distinct(F.transform(extract_urls(col), _host))
+
+
+def _host_blocked(host: Column, blocklist: list[str]) -> Column:
+    """Label-suffix match: host is blocked when it equals a blocked domain
+    or is any subdomain of one (``a.evil.com`` matches ``evil.com``).
+    Substring tricks (`contains`/`endswith` without the dot) would
+    over-match ``notevil.com`` — the dot-anchored suffix is the correct
+    registrable-domain rule."""
+    cond = F.lit(False)
+    for d in blocklist:
+        dl = d.lower()
+        cond = cond | (host == dl) | host.endswith("." + dl)
+    return cond
 
 
 def domain_blocklist_filter(
@@ -44,8 +64,9 @@ def domain_blocklist_filter(
     keep: bool = True,
 ) -> DataFrame:
     """Drop (or with ``keep=False`` select) documents referencing any
-    blocked domain. The blocklist folds into the plan as a literal array —
-    the whole gate is one scan-level filter."""
-    blocked = F.array(*[F.lit(d.lower()) for d in blocklist])
-    hit = F.arrays_overlap(extract_domains(F.col(text_col)), blocked)
+    blocked domain or a subdomain of one. The blocklist folds into the plan
+    as literal comparisons — the whole gate is one scan-level filter."""
+    hit = F.exists(
+        extract_domains(F.col(text_col)), lambda h: _host_blocked(h, blocklist)
+    )
     return df.where(~hit if keep else hit)

@@ -50,9 +50,14 @@ def chunk_documents(
     stride = max_tokens - overlap
     toks = words(F.col(text_col))
     n = F.size(toks)
-    # chunk starts: 0, stride, 2*stride, ... while start < n
+    # chunk starts: 0, stride, 2*stride, ... — but only while the chunk
+    # contributes at least one NEW token beyond the previous chunk's
+    # overlap: a start with n - start <= overlap would emit a chunk fully
+    # contained in its predecessor (e.g. 26 tokens, max 32, overlap 8 →
+    # the old floor((n-1)/stride)+1 produced a second chunk of tokens
+    # 25-26, already covered), duplicating training tokens.
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.floor((n - 1) / F.lit(stride)) + 1
+        F.floor((F.greatest(n - overlap, F.lit(1)) - 1) / F.lit(stride)) + 1
     )
     starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
     ex = docs.select(

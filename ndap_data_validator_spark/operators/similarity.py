@@ -114,7 +114,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    max_bucket_size: int | None = 1024,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: union of per-table bucket joins, then exact cosine
     rank within candidates. Recall grows with n_tables; cost stays
@@ -127,8 +127,11 @@ def lsh_topk(
     pairs into one join cell. Oversized buckets keep the ``max_bucket_size``
     members with the smallest xxhash64(id) (deterministic, unbiased by
     insertion order); the dropped members are near-duplicates of the kept
-    ones by construction, so top-k recall degrades gracefully. ``None``
-    disables the cap."""
+    ones by construction, so top-k recall degrades gracefully. The default
+    is ``None`` (cap OFF) so existing callers keep their exact candidate
+    sets — dense corpora should opt in (1024 is a good production value);
+    enabling it changes which members dense buckets contribute and can
+    change previously-produced top-k results."""
     per_table = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + 1000 * t)
@@ -206,7 +209,6 @@ def ivf_centroids(
     )
     for _ in range(lloyd_iterations):
         assigned = assign_cells(corpus, cents, id_col, vec_col)
-        dim_idx = F.sequence(F.lit(0), F.size(F.col("__v")) - 1)
         # mean vector per cell: explode components, avg, re-assemble
         comp = assigned.select(
             "cell_id",
@@ -222,7 +224,12 @@ def ivf_centroids(
                 F.transform(F.col("s"), lambda e: e["m"]).alias("centroid"),
             )
         )
-        _ = dim_idx  # (kept for clarity; sequence not needed with posexplode)
+        # Truncate lineage each round (same guard as connected_components,
+        # dedup.py pointer jumping): without it, every Lloyd iteration
+        # nests the full previous plan inside assign_cells' crossJoin and
+        # a 20-iteration run compiles an exponentially deep tree. The
+        # checkpointed frame is centroid-count-sized — trivially cheap.
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 

@@ -37,6 +37,41 @@ class CheckpointStore:
         self.spark = spark
         self.path = path
 
+    def _hadoop_fs(self):
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        return HPath(self.path).getFileSystem(hconf), HPath
+
+    def _recover_compaction(self) -> None:
+        """Roll forward/back an interrupted ``compact()`` swap. The swap is
+        rename-ASIDE (main→__old, tmp→main, delete __old), so at every
+        crash point a complete copy of the store exists on disk; this
+        startup sweep restores the invariant that ``self.path`` holds it:
+
+        * ``__old`` present, main present → crash after the swap completed:
+          the side copy is stale, drop it.
+        * ``__old`` present, main missing → crash between the two renames:
+          roll back (rename ``__old`` → main).
+        * ``__compacting`` present → an incomplete (or superseded) side
+          write that never became live; always safe to drop.
+
+        The delete-then-rename scheme this replaces had a window where the
+        ONLY copy was the side dir under a non-final name: a crash there
+        silently reset the delta watermark (missing path reads as 'no
+        checkpoints') and the next run reprocessed everything."""
+        fs, HPath = self._hadoop_fs()
+        base = self.path.rstrip("/")
+        old, tmp = HPath(base + "__old"), HPath(base + "__compacting")
+        main = HPath(base)
+        if fs.exists(old):
+            if fs.exists(main):
+                fs.delete(old, True)
+            else:
+                fs.rename(old, main)
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+
     def _read(self) -> DataFrame:
         """Empty frame ONLY when the store doesn't exist yet; any other read
         failure (corrupt files, permissions, wrong schema) must raise —
@@ -44,6 +79,7 @@ class CheckpointStore:
         a run (or re-validate everything) instead of surfacing the fault."""
         from pyspark.errors import AnalysisException
 
+        self._recover_compaction()
         try:
             return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
         except AnalysisException as e:
@@ -187,11 +223,14 @@ class CheckpointStore:
         every observable (completed_partitions, last_watermark per scope,
         run_log latest state) while collapsing the directory to one file.
 
-        Swap is write-to-side-dir + delete + rename via the Hadoop FS API
-        (works on local/HDFS/S3A alike). The delete→rename window is not
-        atomic on a plain filesystem — run compaction only while no
-        concurrent run is committing, exactly like the reference's upsert,
-        which holds a DB transaction. Returns the number of records kept.
+        Swap is rename-ASIDE via the Hadoop FS API (works on local/HDFS/
+        S3A alike): write side dir → main→``__old`` → side→main → drop
+        ``__old``. A complete copy of the store exists at every crash
+        point, and ``_recover_compaction`` (run before every read) rolls an
+        interrupted swap forward or back. The window is still not atomic
+        against a CONCURRENT committer — run compaction only while no run
+        is committing, exactly like the reference's upsert, which holds a
+        DB transaction. Returns the number of records kept.
         """
         from pyspark.sql import Window
 
@@ -204,15 +243,17 @@ class CheckpointStore:
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        tmp = self.path.rstrip("/") + "__compacting"
+        base = self.path.rstrip("/")
+        tmp = base + "__compacting"
         latest.coalesce(1).write.mode("overwrite").parquet(tmp)
         kept = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(tmp).count()
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        HPath = jvm.org.apache.hadoop.fs.Path
-        fs = HPath(self.path).getFileSystem(hconf)
-        fs.delete(HPath(self.path), True)
-        fs.rename(HPath(tmp), HPath(self.path))
+        fs, HPath = self._hadoop_fs()
+        old = HPath(base + "__old")
+        if fs.exists(old):  # leftover from a crashed swap already recovered
+            fs.delete(old, True)
+        fs.rename(HPath(base), old)
+        fs.rename(HPath(tmp), HPath(base))
+        fs.delete(old, True)
         return int(kept)
 
     def file_count(self) -> int:

@@ -144,12 +144,43 @@ def run_validation(
         ["partition_id"] if delta_batch is None else ["partition_id", "delta_batch"]
     )
 
+    def _assert_layout_depth(path: str) -> None:
+        # Delta mode writes an extra delta_batch partition level; Spark
+        # rejects a directory holding BOTH depths as conflicting partition
+        # structures — but only at READ time, after the second write already
+        # corrupted the layout. Fail fast BEFORE writing when the existing
+        # directory's depth doesn't match this run's mode, so a pipeline
+        # that flips modes on the same report/publish path gets an
+        # actionable error instead of an unreadable directory.
+        jvm = spark._jvm
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(HPath(path)):
+            return
+        for st in fs.globStatus(HPath(path.rstrip("/") + "/partition_id=*/*")):
+            name = st.getPath().getName()
+            if name.startswith(".") or name.startswith("_"):
+                continue  # checksum/_SUCCESS metadata, not layout evidence
+            existing_delta = st.isDirectory() and name.startswith("delta_batch=")
+            want_delta = delta_batch is not None
+            if existing_delta != want_delta:
+                raise ValueError(
+                    f"partition layout mismatch at {path}: existing data was "
+                    f"written {'with' if existing_delta else 'without'} a "
+                    f"delta_batch level but this run ({load_mode=}) writes "
+                    f"{'with' if want_delta else 'without'} it — Spark cannot "
+                    "read mixed depths. Use a fresh output path when "
+                    "switching between delta and non-delta load modes."
+                )
+            return  # one partition dir is representative; all share a depth
+
     def _write_partitioned(frame: DataFrame, path: str) -> None:
         # Dynamic partition overwrite → re-validating a partition replaces
         # its rows; a re-run after crash is idempotent. The mode is pinned on
         # the WRITER (not session config) so the contract holds even with a
         # caller-supplied vanilla SparkSession — static overwrite would wipe
         # already-done partitions' reports on resume.
+        _assert_layout_depth(path)
         if delta_batch is not None:
             frame = frame.withColumn("delta_batch", F.lit(delta_batch))
         (

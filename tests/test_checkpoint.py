@@ -387,3 +387,88 @@ def test_maybe_compact_threshold(spark, tmp_path):
     assert store.maybe_compact(max_files=3) is not None
     assert store.file_count() == 1
     assert store.completed_partitions("RUN-X", "d") == {f"p{i}" for i in range(6)}
+
+
+def _fs_rename(spark, src: str, dst: str) -> None:
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(src).getFileSystem(spark._jsc.hadoopConfiguration())
+    assert fs.rename(HPath(src), HPath(dst))
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """r03 ADVICE (medium): the compaction swap is rename-aside, and an
+    interrupted swap is recovered on the next read — the store is never
+    silently empty (which would reset the delta watermark and reprocess
+    everything under a new batch key)."""
+    path = str(tmp_path / "ckpt")
+    store = CheckpointStore(spark, path)
+    for i in range(5):
+        store.mark_done("RUN-R", f"p{i}", "d", {"rows": i})
+    store.record_watermark("seq", "42")
+    expect = store.completed_partitions("RUN-R", "d")
+
+    # crash BETWEEN the two renames: main gone, __old holds the store
+    _fs_rename(spark, path, path + "__old")
+    assert store.completed_partitions("RUN-R", "d") == expect  # rolled back
+    assert store.last_watermark("seq") == "42"
+
+    # crash AFTER the swap: both main and a stale __old present
+    _fs_rename(spark, path, path + "__old")
+    _fs_rename(spark, path + "__old", path)  # (restore main…)
+    store.mark_done("RUN-R", "p5", "d", {"rows": 5})
+    import shutil
+
+    shutil.copytree(path, path + "__old")  # stale side copy
+    assert store.completed_partitions("RUN-R", "d") == expect | {"p5"}
+    import os
+
+    assert not os.path.exists(path + "__old")  # stale copy dropped
+
+    # leftover __compacting side dir is swept without touching the store
+    shutil.copytree(path, path + "__compacting")
+    assert store.completed_partitions("RUN-R", "d") == expect | {"p5"}
+    assert not os.path.exists(path + "__compacting")
+
+    # and a full compact() still works after all that
+    assert store.compact() > 0
+    assert store.completed_partitions("RUN-R", "d") == expect | {"p5"}
+
+
+def test_mixed_mode_partition_depth_fails_fast(spark, tmp_path):
+    """r03 ADVICE (medium): delta mode adds a delta_batch partition level;
+    pointing a delta run at a report/publish path written by a non-delta
+    run must fail BEFORE writing (Spark cannot read mixed depths)."""
+    import pytest
+
+    assigns = [
+        ColumnAssignment("part", "Location"),
+        ColumnAssignment("m", "Measures", "float"),
+    ]
+    report = str(tmp_path / "report")
+    df = spark.createDataFrame(
+        [("p0", i, float(i)) for i in range(10)],
+        "part string, seq long, m double",
+    )
+    run_validation(
+        spark, df, assigns, "part",
+        checkpoint_path=str(tmp_path / "c1"), report_path=report,
+    )
+    with pytest.raises(ValueError, match="partition layout mismatch"):
+        run_validation(
+            spark, df, assigns, "part",
+            checkpoint_path=str(tmp_path / "c2"), report_path=report,
+            load_mode="delta", watermark_col="seq",
+        )
+    # …and the reverse direction: delta first, then full
+    report2 = str(tmp_path / "report2")
+    run_validation(
+        spark, df, assigns, "part",
+        checkpoint_path=str(tmp_path / "c3"), report_path=report2,
+        load_mode="delta", watermark_col="seq",
+    )
+    with pytest.raises(ValueError, match="partition layout mismatch"):
+        run_validation(
+            spark, df, assigns, "part",
+            checkpoint_path=str(tmp_path / "c4"), report_path=report2,
+        )

@@ -35,12 +35,32 @@ def test_chunk_documents_overlap_stride(spark):
         chunk_documents(docs, max_tokens=4, overlap=1).collect(),
         key=lambda r: r["chunk_idx"],
     )
-    # stride 3: starts 0,3,6,9
-    assert [r["n_tokens"] for r in out] == [4, 4, 4, 1]
+    # stride 3: starts 0,3,6 — NOT 9: a chunk starting at 9 would hold only
+    # t9, already covered by the chunk at 6 (overlap-contained duplicate)
+    assert [r["n_tokens"] for r in out] == [4, 4, 4]
     assert out[1]["chunk_text"] == "t3 t4 t5 t6"
-    assert out[3]["chunk_text"] == "t9"
+    assert out[2]["chunk_text"] == "t6 t7 t8 t9"
     with pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_contained_final_chunk(spark):
+    # 26 tokens, max 32, overlap 8: the old floor((n-1)/stride)+1 emitted a
+    # second chunk of tokens 25-26, fully inside chunk 0 (r03 ADVICE)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(26)))], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, max_tokens=32, overlap=8).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 26
+    # and every emitted chunk still contributes tokens beyond the overlap
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    out2 = sorted(
+        chunk_documents(docs2, max_tokens=32, overlap=8).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["n_tokens"] for r in out2] == [32, 16]  # starts 0, 24
 
 
 def test_pack_manifest_bins_offsets_splits(spark):

@@ -220,3 +220,36 @@ def test_url_extraction_and_blocklist_filter(spark):
     assert {r["doc_id"] for r in kept.collect()} == {0}
     dropped = domain_blocklist_filter(df, ["bad.org"], keep=False)
     assert {r["doc_id"] for r in dropped.collect()} == {1, 2}
+
+
+def test_blocklist_subdomain_and_userinfo_bypass(spark):
+    """r03 ADVICE (medium): subdomains of a blocked domain and userinfo
+    tricks (http://x@evil.com) must not pass the gate; unrelated domains
+    merely CONTAINING the blocked string (notevil.com) must pass."""
+    from ndap_data_validator_spark.functions.urls import (
+        domain_blocklist_filter,
+        extract_domains,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "clean http://fine.example.net/x"),
+            (1, "sub http://a.evil.com/x"),
+            (2, "deep http://b.a.EVIL.com/x"),
+            (3, "userinfo http://x@evil.com/x"),
+            (4, "both http://u:p@c.evil.com/x"),
+            (5, "lookalike http://notevil.com/x"),
+            (6, "exact http://evil.com/x"),
+        ],
+        "doc_id long, text string",
+    )
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in df.select(
+            "doc_id", extract_domains(F.col("text")).alias("d")
+        ).collect()
+    }
+    assert doms[3] == ["evil.com"]  # userinfo stripped
+    assert doms[4] == ["c.evil.com"]
+    kept = {r["doc_id"] for r in domain_blocklist_filter(df, ["evil.com"]).collect()}
+    assert kept == {0, 5}
