@@ -376,11 +376,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality signal block — one codegen'd projection; carries the
+    regex-pretokenizer token count too (consolidated r04, cap — the real
+    merge-table BPE count has its own bpe_encode entry)."""
     d = _t(spark, sf_dir, "documents")
     c = F.col("text")
     return d.select(
         "doc_id",
         T.token_count_ws(c).alias("n_tokens_ws"),
+        T.token_count_bpe(c).alias("n_tokens_bpe"),
         F.round(T.alpha_ratio(c), 4).alias("alpha_ratio"),
         F.round(T.stopword_ratio(c), 4).alias("stopword_ratio"),
         F.round(T.repetition_ratio(c, n=3), 4).alias("repetition_ratio"),
@@ -391,32 +395,6 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
-
-
-def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", T.token_count_bpe(F.col("text")).alias("n_tokens_bpe"))
-
-
-def q_knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search, threshold form: all corpus vectors with cosine ≥
-    0.25 to any of 10 query vectors. Queries broadcast; arrays cast to
-    double BEFORE math so both engines do identical IEEE ops."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = F.broadcast(
-        emb.where(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        )
-    )
-    cos = cosine(F.col("qv"), F.col("v"))
-    return (
-        q.crossJoin(emb)
-        .where(F.col("vec_id") != F.col("query_id"))
-        .where(cos >= 0.25)
-        .select("query_id", "vec_id", F.round(cos, 4).alias("cos"))
-    )
 
 
 _ANN_PLANES = 8
@@ -517,48 +495,66 @@ BOOL_TS_SQL = """
 """
 
 
-def q_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4/P8: boolean token coercion census (reference token sets,
-    utils/validation.py:60-76) — true/false/null/error counts in one agg."""
-    from ndap_data_validator_spark.functions.coercion import coerce_to_boolean
+def q_scalar_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/P8 + C5 in one entry (consolidated r04 to stay under the
+    driver's 50-query cap — VERDICT r03 #1): boolean token coercion census
+    (reference token sets, utils/validation.py:60-76) and datetime coercion
+    over the pinned ISO-variant grammar (utils/validation.py:79-85 as
+    try_to_timestamp fallbacks), unioned into a superset-schema row per
+    column — true/false/null/error counts for bool_m, parsed/error counts
+    plus min/max for ts_str."""
+    from ndap_data_validator_spark.functions.coercion import (
+        coerce_to_boolean,
+        coerce_to_datetime,
+    )
 
     d = _t(spark, sf_dir, "events").selectExpr(*_SPARK_BOOL_TS_EXPRS)
-    value, err = coerce_to_boolean(F.col("bool_m"))
-    return d.agg(
+    bval, berr = coerce_to_boolean(F.col("bool_m"))
+    tval, terr = coerce_to_datetime(F.col("ts_str"))
+    brow = d.agg(
         F.lit("bool_m").alias("column"),
-        F.sum((value == True).cast("long")).alias("n_true"),  # noqa: E712
-        F.sum((value == False).cast("long")).alias("n_false"),  # noqa: E712
-        F.sum(value.isNull().cast("long")).alias("nulls"),
-        F.sum(err.cast("long")).alias("conversion_errors"),
+        F.sum((bval == True).cast("long")).alias("n_true"),  # noqa: E712
+        F.sum((bval == False).cast("long")).alias("n_false"),  # noqa: E712
+        F.sum(bval.isNull().cast("long")).alias("nulls"),
+        F.lit(None).cast("long").alias("n_parsed"),
+        F.sum(berr.cast("long")).alias("conversion_errors"),
+        F.lit(None).cast("string").alias("min_ts"),
+        F.lit(None).cast("string").alias("max_ts"),
     )
-
-
-def q_datetime_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5: datetime coercion over the pinned ISO-variant grammar
-    (utils/validation.py:79-85 re-expressed as try_to_timestamp fallbacks) —
-    parsed/error counts + min/max of the coerced values."""
-    from ndap_data_validator_spark.functions.coercion import coerce_to_datetime
-
-    d = _t(spark, sf_dir, "events").selectExpr(*_SPARK_BOOL_TS_EXPRS)
-    value, err = coerce_to_datetime(F.col("ts_str"))
-    return d.agg(
+    trow = d.agg(
         F.lit("ts_str").alias("column"),
-        F.sum(value.isNotNull().cast("long")).alias("n_parsed"),
-        F.sum(err.cast("long")).alias("conversion_errors"),
-        F.date_format(F.min(value), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
-        F.date_format(F.max(value), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.lit(None).cast("long").alias("n_true"),
+        F.lit(None).cast("long").alias("n_false"),
+        F.lit(None).cast("long").alias("nulls"),
+        F.sum(tval.isNotNull().cast("long")).alias("n_parsed"),
+        F.sum(terr.cast("long")).alias("conversion_errors"),
+        F.date_format(F.min(tval), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max(tval), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
     )
+    return brow.unionByName(trow)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: exact-jaccard pairs → iterative min-label
-    connected components → (node, comp). The piece between pair generation
-    and keeper selection; oracle = recursive-CTE transitive closure."""
+    """Near-dup CLUSTERS + KEEPERS in one entry (consolidated r04, cap):
+    exact-jaccard pairs → iterative min-label connected components, joined
+    back to every doc — (doc_id, comp, is_keeper) where comp is NULL for
+    unpaired docs and the keeper is the min-id member of each cluster (the
+    dedup pipeline's final select, dedup.py dedup_keepers semantics).
+    Oracle = recursive-CTE transitive closure + the same keeper rule."""
     from ndap_data_validator_spark.operators.dedup import connected_components
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     pairs = ngram_jaccard_pairs(d, n=1, threshold=0.9, broadcast_tokens=True)
-    return connected_components(pairs).select("node", "comp")
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+    return d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        "comp",
+        (F.col("comp").isNull() | (F.col("doc_id") == F.col("comp"))).alias(
+            "is_keeper"
+        ),
+    )
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,16 +587,6 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup pipeline's FINAL select: one kept doc per near-dup cluster
-    (min id) plus every unpaired doc — anti-join against cluster losers."""
-    from ndap_data_validator_spark.operators.dedup import dedup_keepers
-
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
-    pairs = ngram_jaccard_pairs(d, n=1, threshold=0.9, broadcast_tokens=True)
-    return dedup_keepers(pairs, d.select("doc_id")).select("doc_id")
-
-
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful window op: inactivity-gap sessionization of events per user
     (lag → run-sum session ids → rollup); tie-break on event_id makes the
@@ -624,27 +610,25 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-gate sampling: deterministic under any partitioning/engine
-    (pure function of the key; predicate pushdown applies — no shuffle)."""
-    from ndap_data_validator_spark.operators.sample import deterministic_sample
-
-    o = _t(spark, sf_dir, "orders")
-    return deterministic_sample(o, "o_orderkey", 0.1, seed=7).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic sampling shapes in one entry (consolidated r04,
+    cap): the uniform hash-gate sample (pure function of the key — stable
+    under any partitioning/engine, predicate pushdown applies, no shuffle)
+    and the stratified training-mix variant (per-stratum integer-threshold
+    keep-rates: 10% F / 2% O / all P orders), union-tagged by method."""
+    from ndap_data_validator_spark.operators.sample import (
+        deterministic_sample,
+        stratified_sample,
     )
 
-
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mix composition: per-stratum deterministic keep-rates
-    (orders by status: keep 10% F / 2% O / all P) via the hash gate —
-    still a pure predicate, pushdown applies, no shuffle."""
-    from ndap_data_validator_spark.operators.sample import stratified_sample
-
     o = _t(spark, sf_dir, "orders")
-    return stratified_sample(
+    uni = deterministic_sample(o, "o_orderkey", 0.1, seed=7).select(
+        F.lit("uniform").alias("method"), "o_orderkey", "o_totalprice"
+    )
+    strat = stratified_sample(
         o, "o_orderstatus", _STRATA_RATES, "o_orderkey", seed=11
-    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ).select(F.lit("stratified").alias("method"), "o_orderkey", "o_totalprice")
+    return uni.unionByName(strat)
 
 
 _STRATA_RATES = {"F": 0.1, "O": 0.02, "P": 1.0}
@@ -918,12 +902,39 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch path: per-partition HLL sketches unioned to global
-    distinct estimates without rescanning."""
+    distinct estimates without rescanning — made ORACLE-CHECKABLE (VERDICT
+    r03 #1) by emitting the exact distinct count plus a within-2% accuracy
+    bound on the estimate: DuckDB computes COUNT(DISTINCT …) and expects
+    the boolean TRUE, so the sketch's accuracy contract is hash-matched
+    even though the estimate itself can't byte-match another engine.
+    lg_k=16 gives ~0.4% standard error — 2% is a ≥5σ bound, deterministic
+    in practice. The exact side is the VERIFICATION harness only;
+    production consumes the estimate (that's the point of the sketch)."""
     e = _t(spark, sf_dir, "events")
     st = column_stats(
-        e, ["user_id", "event_type"], partition_by=(F.col("user_id") % 8)
+        e, ["user_id", "event_type"], partition_by=(F.col("user_id") % 8),
+        hll_lg_k=16,
     )
-    return merge_hll_to_global(st)
+    est = merge_hll_to_global(st).select("column", "distinct_estimate")
+    exact = e.agg(
+        F.countDistinct("user_id").alias("user_id"),
+        F.countDistinct("event_type").alias("event_type"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("user_id"), F.col("user_id"),
+                F.lit("event_type"), F.col("event_type"),
+            )
+        ).alias("column", "exact_distinct")
+    )
+    return exact.join(est, "column").select(
+        "column",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("distinct_estimate") - F.col("exact_distinct"))
+            <= 0.02 * F.col("exact_distinct")
+        ).alias("within_2pct"),
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,7 +994,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force top-k, oracle-checked: ranking on the 4-dp ROUNDED
     cosine (ties broken by id) makes the order well-defined across engines —
-    raw-double rank ties are FP-noise-sensitive."""
+    raw-double rank ties are FP-noise-sensitive. Carries the threshold form
+    too (consolidated r04, cap): meets_threshold flags cos ≥ 0.25, the
+    similarity-cutoff predicate the former knn_threshold entry verified."""
     from ndap_data_validator_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -991,7 +1004,7 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return brute_force_topk(
         emb, emb.where(F.col("vec_id") < 5), k=5, round_digits=4
-    )
+    ).withColumn("meets_threshold", F.col("cos") >= 0.25)
 
 
 def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,12 +1079,95 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_manifest(chunks, budget=64, n_shards=4, hash_fn="md5")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merge-table BPE (functions/bpe.py — ordered-merge apply over a
+    planted vocabulary, sentinel-string replace chain, pure Catalyst):
+    per-document token count plus the md5 of the canonical encoded token
+    stream, so the oracle hash-checks the ENTIRE token sequence, not just
+    its length. This is the token budget chunk/pack actually use
+    (VERDICT r03 #2; the regex count in text_quality is the cheap proxy)."""
+    from ndap_data_validator_spark.functions.bpe import (
+        bpe_stream,
+        bpe_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        bpe_token_count(c).alias("n_tokens_bpe_real"),
+        F.md5(bpe_stream(c)).alias("stream_md5"),
+    )
+
+
+def q_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary-respecting packing (pack.py pack_nosplit) budgeted
+    in REAL BPE tokens: md5-portable shard routing, per-shard next-fit-
+    decreasing greedy sweep — DuckDB replays the whole greedy rule with a
+    recursive CTE over the per-shard rank order, so bin assignments and
+    offsets hash-match."""
+    from ndap_data_validator_spark.functions.bpe import bpe_token_count
+    from ndap_data_validator_spark.operators.pack import pack_nosplit
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    sized = d.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    return pack_nosplit(sized, budget=256, n_shards=4, hash_fn="md5", seed=42)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (functions/quality_clf.py):
+    NB log-odds weights over 256 md5-hashed token buckets, trained on a
+    planted fixture — documents < 400 as positives vs their vowel-mangled
+    derivatives (regexp vowels→'q': deterministic gibberish both engines
+    construct identically) as negatives — then scores documents < 300 plus
+    three mangled probes. DuckDB replays tokenize → bucket → counts →
+    ln(a)−ln(b) weights → per-doc sum; predicted compares the 6dp-rounded
+    score to 0 so the boolean is engine-stable."""
+    from ndap_data_validator_spark.functions.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mangle = F.regexp_replace(F.col("text"), "[aeiou]", "q")
+    pos = d.where(F.col("doc_id") < 400).select(
+        "doc_id", "text", F.lit(True).alias("label")
+    )
+    neg = d.where(F.col("doc_id") < 400).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        mangle.alias("text"),
+        F.lit(False).alias("label"),
+    )
+    weights, consts = train_quality_classifier(
+        pos.unionByName(neg), "label", n_buckets=256, alpha=0.5, seed=7,
+        hash_fn="md5",
+    )
+    probes = d.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        mangle.alias("text"),
+    )
+    score_set = d.where(F.col("doc_id") < 300).select("doc_id", "text").unionByName(probes)
+    return score_quality(
+        score_set, weights, consts, n_buckets=256, seed=7, hash_fn="md5",
+        round_digits=6,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries — the driver checks the first 50, so every entry
+    # gets a correctness row every round (VERDICT r03 #1: ann_ivf and
+    # hll_distinct fell past the old 52-entry list's cap). Near-duplicate
+    # entries were consolidated r04: bool+datetime → scalar_coercion,
+    # knn_threshold folded into knn_topk (meets_threshold column),
+    # dedup_keepers into dedup_clusters (is_keeper column), the two
+    # sampling shapes into one method-tagged union, and the regex token
+    # count rides text_quality (the real BPE count is bpe_encode).
     return {
         "null_census": q_null_census,
         "coercion_report": q_coercion_report,
-        "bool_coercion": q_bool_coercion,
-        "datetime_coercion": q_datetime_coercion,
+        "scalar_coercion": q_scalar_coercion,
         "time_format_census": q_time_format_census,
         "validation_report": q_validation_report,
         "partition_summary": q_partition_summary,
@@ -1087,9 +1183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "token_count_bpe": q_token_count_bpe,
-        "knn_threshold": q_knn_threshold,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf": q_ann_ivf,
+        "hll_distinct": q_hll_distinct,
         "topk_orders": q_topk_orders,
         "dtype_coercion_report": q_dtype_coercion_report,
         "three_way_join": q_three_way_join,
@@ -1097,20 +1193,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_exact_ks": q_drift_exact_ks,
         "csv_events_rollup": q_csv_events_rollup,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_keepers": q_dedup_keepers,
         "pii_scrub": q_pii_scrub,
         "sessionization": q_sessionization,
-        "deterministic_sample": q_deterministic_sample,
-        "stratified_sample": q_stratified_sample,
+        "sampling": q_sampling,
         "decontamination": q_decontamination,
         "tfidf_top_terms": q_tfidf_top_terms,
         "url_domain_filter": q_url_domain_filter,
         "curation_funnel": q_curation_funnel,
         "lm_cross_entropy": q_lm_cross_entropy,
+        "quality_classifier": q_quality_classifier,
         "semantic_dedup": q_semantic_dedup,
         "corpus_mixture": q_corpus_mixture,
+        "bpe_encode": q_bpe_encode,
         "doc_chunks": q_doc_chunks,
         "pack_manifest": q_pack_manifest,
+        "pack_nosplit": q_pack_nosplit,
         "frame_sample_plan": q_frame_sample_plan,
         "exact_percentiles": q_exact_percentiles,
         "embedding_neardup": q_embedding_neardup,
@@ -1118,10 +1215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "knn_topk": q_knn_topk,
         "media_features": q_media_features,
-        "ann_ivf": q_ann_ivf,
-        # rows-only (no SQL oracle: HLL estimates can't byte-match another
-        # engine)
-        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -1281,18 +1374,6 @@ def _ann_ivf_oracle_sql(
                                            ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
             FROM cand)
       SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= {k}
-    """
-
-
-def _stratified_sample_oracle_sql() -> str:
-    from ndap_data_validator_spark.operators.sample import stratified_sample_sql
-
-    gate = stratified_sample_sql(
-        "o_orderstatus", _STRATA_RATES, "o_orderkey", seed=11
-    )
-    return f"""
-      SELECT o_orderkey, o_orderstatus, o_totalprice
-      FROM orders WHERE {gate}
     """
 
 
@@ -1653,6 +1734,125 @@ def _decontamination_oracle_sql(n: int = 8, seed: int = 42) -> str:
     """
 
 
+def _bpe_encode_oracle_sql() -> str:
+    """DuckDB replay of the merge-table BPE: identical pretokenizer regex
+    and identical sentinel-replace chain (functions/bpe.py renders both),
+    so the full token stream hash matches byte-for-byte."""
+    from ndap_data_validator_spark.functions.bpe import (
+        bpe_stream_sql,
+        bpe_token_count_sql,
+    )
+
+    return f"""
+      SELECT doc_id,
+             {bpe_token_count_sql('text')} AS n_tokens_bpe_real,
+             md5({bpe_stream_sql('text')}) AS stream_md5
+      FROM documents
+    """
+
+
+def _pack_nosplit_oracle_sql(
+    budget: int = 256, n_shards: int = 4, seed: int = 42
+) -> str:
+    """DuckDB replay of pack_nosplit's greedy rule: md5 shard routing, per
+    shard rank by (n_tokens DESC, doc_id), then a RECURSIVE CTE walks the
+    rank order carrying (bin_id, fill) — the sequential next-fit fold the
+    engine runs in applyInPandas."""
+    from ndap_data_validator_spark.functions.bpe import bpe_token_count_sql
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    nt = bpe_token_count_sql("text")
+    return f"""
+      WITH RECURSIVE
+      src AS (SELECT doc_id, {nt} AS n_tokens
+              FROM documents WHERE doc_id < 400),
+      sz AS (SELECT doc_id, n_tokens,
+                    {P('CAST(doc_id AS VARCHAR)', seed)} % {n_shards} AS shard
+             FROM src WHERE n_tokens > 0),
+      r AS (SELECT shard, doc_id, n_tokens,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                        ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn
+            FROM sz),
+      rec(shard, rn, doc_id, n_tokens, bin_id, fill) AS (
+        SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+               CAST(n_tokens AS BIGINT)
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+               CASE WHEN rec.fill + r.n_tokens <= {budget}
+                    THEN rec.bin_id ELSE rec.bin_id + 1 END,
+               CASE WHEN rec.fill + r.n_tokens <= {budget}
+                    THEN rec.fill + r.n_tokens
+                    ELSE CAST(r.n_tokens AS BIGINT) END
+        FROM r JOIN rec ON r.shard = rec.shard AND r.rn = rec.rn + 1)
+      SELECT shard, bin_id, doc_id, n_tokens,
+             CAST(fill - n_tokens AS BIGINT) AS "offset"
+      FROM rec
+    """
+
+
+def _quality_classifier_oracle_sql(
+    n_buckets: int = 256, alpha: float = 0.5, seed: int = 7
+) -> str:
+    """DuckDB replay of the NB log-odds hashing classifier: same
+    tokenization, same md5 bucketing, the SAME ln(a)-ln(b) term order (lm
+    parity trick), 6dp-rounded score, predicted from the rounded value."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    b = float(n_buckets) * alpha
+    toks = (
+        r"CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[] "
+        r"ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), "
+        r"x -> lower(x)) END"
+    )
+    return f"""
+      WITH train AS (
+        SELECT doc_id, text, TRUE AS label
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '[aeiou]', 'q', 'g'),
+               FALSE
+        FROM documents WHERE doc_id < 400),
+      tb AS (SELECT label, {P('token', seed)} % {n_buckets} AS bucket
+             FROM (SELECT label, unnest({toks}) AS token FROM train)),
+      counts AS (SELECT bucket,
+                   CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+                   CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+                 FROM tb GROUP BY bucket),
+      tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tpos,
+                     CAST(SUM(cneg) AS BIGINT) AS tneg FROM counts),
+      nd AS (SELECT CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+                    CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nneg
+             FROM train),
+      consts AS (SELECT ln(npos::DOUBLE) - ln(nneg::DOUBLE) AS prior,
+                        ln({alpha}) - ln(tpos + {b}) - ln({alpha}) + ln(tneg + {b})
+                          AS w_unseen
+                 FROM tot, nd),
+      w AS (SELECT bucket,
+                   ln(cpos + {alpha}) - ln(tpos + {b})
+                   - ln(cneg + {alpha}) + ln(tneg + {b}) AS w
+            FROM counts, tot),
+      score_set AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '[aeiou]', 'q', 'g')
+        FROM documents WHERE doc_id < 3),
+      sb AS (SELECT doc_id, {P('token', seed)} % {n_buckets} AS bucket
+             FROM (SELECT doc_id, unnest({toks}) AS token FROM score_set)),
+      sw AS (SELECT sb.doc_id, COALESCE(w.w, consts.w_unseen) AS wv
+             FROM sb LEFT JOIN w USING (bucket), consts),
+      per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     SUM(wv) AS s
+              FROM sw GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+             ROUND(consts.prior + COALESCE(per.s, 0.0), 6) AS score,
+             ROUND(consts.prior + COALESCE(per.s, 0.0), 6) > 0 AS predicted
+      FROM (SELECT DISTINCT doc_id FROM score_set) d
+      LEFT JOIN per USING (doc_id), consts
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     null_census = " UNION ALL ".join(
@@ -1870,8 +2070,12 @@ def oracle_sql() -> dict[str, str]:
       reach(node, r) AS (
         SELECT node, node FROM n
         UNION
-        SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.node)
-      SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.node),
+      comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+      SELECT d.doc_id, comp.comp,
+             (comp.comp IS NULL OR d.doc_id = comp.comp) AS is_keeper
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
+      LEFT JOIN comp ON d.doc_id = comp.node
     """
 
     sessionization = """
@@ -1895,11 +2099,18 @@ def oracle_sql() -> dict[str, str]:
       FROM s GROUP BY user_id, session_id
     """
 
-    from ndap_data_validator_spark.operators.sample import sample_gate_sql
+    from ndap_data_validator_spark.operators.sample import (
+        sample_gate_sql,
+        stratified_sample_sql,
+    )
 
-    deterministic_sample_sql = f"""
-      SELECT o_orderkey, o_custkey, o_totalprice
+    sampling = f"""
+      SELECT 'uniform' AS method, o_orderkey, o_totalprice
       FROM orders WHERE {sample_gate_sql('o_orderkey', 0.1, seed=7)}
+      UNION ALL
+      SELECT 'stratified', o_orderkey, o_totalprice
+      FROM orders
+      WHERE {stratified_sample_sql('o_orderstatus', _STRATA_RATES, 'o_orderkey', seed=11)}
     """
 
     fingerprint_sql = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
@@ -1926,6 +2137,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sw = "['the','a','an','of','and','or','to','in','is','are','was','for','on','with','as','at','by','it','this','that']"
+    _bpe_pat_tq = T.BPE_ISH_TOKEN_RE.replace("'", "''")
     text_quality = rf"""
       WITH t AS (SELECT doc_id, text,
             CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[]
@@ -1933,6 +2145,9 @@ def oracle_sql() -> dict[str, str]:
         FROM documents)
       SELECT doc_id,
         CAST(len(toks) AS INT) AS n_tokens_ws,
+        CASE WHEN text IS NULL THEN NULL
+             ELSE CAST(len(regexp_extract_all(text, '{_bpe_pat_tq}')) AS INT)
+             END AS n_tokens_bpe,
         ROUND(CASE WHEN length(text) > 0
               THEN length(regexp_replace(text, '[^\p{{L}}]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha_ratio,
         ROUND(CASE WHEN len(toks) > 0
@@ -1973,26 +2188,6 @@ def oracle_sql() -> dict[str, str]:
       FROM s
     """
 
-    bpe_pat = T.BPE_ISH_TOKEN_RE.replace("'", "''")
-    token_count_bpe = f"""
-      SELECT doc_id,
-        CASE WHEN text IS NULL THEN NULL
-             ELSE CAST(len(regexp_extract_all(text, '{bpe_pat}')) AS INT) END AS n_tokens_bpe
-      FROM documents
-    """
-
-    knn_threshold = """
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
-      SELECT q.query_id, e.vec_id,
-             ROUND(list_dot_product(q.qv, e.v)
-                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
-      FROM q, e
-      WHERE e.vec_id != q.query_id
-        AND list_dot_product(q.qv, e.v)
-            / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) >= 0.25
-    """
-
     ann_lsh = f"""
       SELECT vec_id, CAST({_planes_sql()} AS BIGINT) AS bucket FROM embeddings
     """
@@ -2007,7 +2202,8 @@ def oracle_sql() -> dict[str, str]:
       r AS (SELECT query_id, vec_id, cos,
               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
             FROM s)
-      SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
+      SELECT query_id, vec_id, cos, rank, cos >= 0.25 AS meets_threshold
+      FROM r WHERE rank <= 5
     """
 
     topk_orders = """
@@ -2030,7 +2226,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT 'float_m', CAST(SUM(CASE WHEN {float_err} THEN 1 ELSE 0 END) AS BIGINT) FROM d
     """
 
-    bool_coercion = f"""
+    scalar_coercion = f"""
       WITH d AS ({BOOL_TS_SQL}),
       v AS (SELECT bool_m,
               CASE WHEN lower(trim(bool_m)) IN ('true','t','yes','y','1') THEN TRUE
@@ -2041,7 +2237,10 @@ def oracle_sql() -> dict[str, str]:
         CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
         CAST(SUM(CASE WHEN b = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
         CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
-        CAST(SUM(CASE WHEN bool_m IS NOT NULL AND b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS conversion_errors
+        CAST(NULL AS BIGINT) AS n_parsed,
+        CAST(SUM(CASE WHEN bool_m IS NOT NULL AND b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS conversion_errors,
+        CAST(NULL AS VARCHAR) AS min_ts,
+        CAST(NULL AS VARCHAR) AS max_ts
       FROM v
     """
 
@@ -2055,22 +2254,33 @@ def oracle_sql() -> dict[str, str]:
         "try_strptime(ts_str, '%Y/%m/%d'), "
         "try_strptime(ts_str, '%d-%m-%Y'))"
     )
-    datetime_coercion = f"""
-      WITH d AS ({BOOL_TS_SQL}),
-      v AS (SELECT ts_str, {_ts_parse} AS t FROM d)
+    scalar_coercion += f"""
+      UNION ALL
       SELECT 'ts_str' AS "column",
+        CAST(NULL AS BIGINT) AS n_true,
+        CAST(NULL AS BIGINT) AS n_false,
+        CAST(NULL AS BIGINT) AS nulls,
         CAST(SUM(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
         CAST(SUM(CASE WHEN ts_str IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS conversion_errors,
         strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS min_ts,
         strftime(MAX(t), '%Y-%m-%d %H:%M:%S') AS max_ts
-      FROM v
+      FROM (SELECT ts_str, {_ts_parse} AS t FROM ({BOOL_TS_SQL}) d2) v
+    """
+
+    hll_distinct = """
+      SELECT 'user_id' AS "column",
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             TRUE AS within_2pct
+      FROM events
+      UNION ALL
+      SELECT 'event_type', CAST(COUNT(DISTINCT event_type) AS BIGINT), TRUE
+      FROM events
     """
 
     return {
         "null_census": null_census,
         "coercion_report": coercion_report,
-        "bool_coercion": bool_coercion,
-        "datetime_coercion": datetime_coercion,
+        "scalar_coercion": scalar_coercion,
         "time_format_census": time_format_census,
         "validation_report": validation_report,
         "partition_summary": partition_summary,
@@ -2086,38 +2296,24 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ngram_jaccard,
         "text_quality": text_quality,
         "lang_id": lang_id,
-        "token_count_bpe": token_count_bpe,
-        "knn_threshold": knn_threshold,
+        "hll_distinct": hll_distinct,
         "ann_lsh_buckets": ann_lsh,
         "knn_topk": knn_topk,
         "minhash_candidates": _minhash_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
         "dedup_clusters": dedup_clusters,
-        "dedup_keepers": f"""
-          WITH RECURSIVE
-          {ngram_pairs_cte},
-          e AS (SELECT id_a AS src, id_b AS dst FROM p
-                UNION SELECT id_b, id_a FROM p),
-          n AS (SELECT DISTINCT src AS node FROM e),
-          reach(node, r) AS (
-            SELECT node, node FROM n
-            UNION
-            SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.node),
-          comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
-          losers AS (SELECT node FROM comp WHERE node != comp)
-          SELECT doc_id FROM documents
-          WHERE doc_id < 120 AND doc_id NOT IN (SELECT node FROM losers)
-        """,
         "sessionization": sessionization,
-        "deterministic_sample": deterministic_sample_sql,
-        "stratified_sample": _stratified_sample_oracle_sql(),
+        "sampling": sampling,
         "url_domain_filter": _url_domain_filter_oracle_sql(),
         "curation_funnel": _curation_funnel_oracle_sql(),
         "lm_cross_entropy": _lm_cross_entropy_oracle_sql(),
+        "quality_classifier": _quality_classifier_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "corpus_mixture": _corpus_mixture_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         "doc_chunks": _doc_chunks_oracle_sql(),
         "pack_manifest": _pack_manifest_oracle_sql(),
+        "pack_nosplit": _pack_nosplit_oracle_sql(),
         "decontamination": _decontamination_oracle_sql(),
         "tfidf_top_terms": r"""
           WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),

@@ -39,16 +39,32 @@ def chunk_documents(
     overlap: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer: str = "ws",
 ) -> DataFrame:
-    """Split each document's whitespace tokens into chunks of
-    ``max_tokens`` with ``overlap`` tokens shared between consecutive
-    chunks (stride = max_tokens - overlap). Returns
-    (id, chunk_idx, n_tokens, chunk_text); empty documents produce no
-    rows. Deterministic, order-free, shuffle-free."""
+    """Split each document's tokens into chunks of ``max_tokens`` with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    max_tokens - overlap). Returns (id, chunk_idx, n_tokens, chunk_text);
+    empty documents produce no rows. Deterministic, order-free,
+    shuffle-free.
+
+    ``tokenizer='ws'`` budgets whitespace tokens (chunk_text re-joins them
+    with single spaces). ``tokenizer='bpe'`` budgets REAL merge-table BPE
+    tokens (functions/bpe.py) — the unit a training pipeline actually
+    packs by; BPE tokens carry their leading spaces, so chunk_text is
+    their plain concatenation and chunk boundaries land on token
+    boundaries of the model's vocabulary. Either way the operator stays
+    one projection + one generate inside whole-stage codegen."""
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
+    if tokenizer not in ("ws", "bpe"):
+        raise ValueError("tokenizer must be 'ws' or 'bpe'")
     stride = max_tokens - overlap
-    toks = words(F.col(text_col))
+    if tokenizer == "bpe":
+        from ndap_data_validator_spark.functions.bpe import bpe_tokens
+
+        toks = bpe_tokens(F.col(text_col))
+    else:
+        toks = words(F.col(text_col))
     n = F.size(toks)
     # chunk starts: 0, stride, 2*stride, ... — but only while the chunk
     # contributes at least one NEW token beyond the previous chunk's
@@ -68,11 +84,12 @@ def chunk_documents(
         ).alias("chunk_idx", "__start"),
     )
     piece = F.slice(F.col("__toks"), F.col("__start") + 1, max_tokens)
+    joiner = " " if tokenizer == "ws" else ""
     return ex.select(
         id_col,
         "chunk_idx",
         F.size(piece).alias("n_tokens"),
-        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.array_join(piece, joiner).alias("chunk_text"),
     )
 
 
@@ -137,3 +154,72 @@ def pack_manifest(
             > F.lit(budget)
         ).alias("split"),
     )
+
+
+def pack_nosplit(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+    hash_fn: str = "xxhash64",
+    seed: int = 42,
+) -> DataFrame:
+    """Document-boundary-respecting packing (VERDICT r03 #4): the SFT/
+    instruction-tuning shape, where a document may NEVER be cut across
+    sequences — concat-and-cut (``pack_manifest``) is pretraining-only.
+
+    Rule (next-fit-decreasing, deterministic): route each doc to a shard by
+    hashing ``id_col``; within the shard order docs by (n_tokens DESC, id)
+    and sweep once, placing each doc into the current bin if it fits and
+    opening a new bin otherwise. A doc larger than ``budget`` gets a bin of
+    its own (callers wanting truncation should chunk first). Descending
+    order makes the greedy sweep pack tightly (NFD waste ≤ the classic 2×
+    bound, ~15% in practice on doc-length distributions).
+
+    Scale shape: ONE exchange on the shard key, then a per-shard
+    sequential sweep via ``applyInPandas`` — the assignment is a running
+    FOLD (each bin decision depends on the previous), which no window
+    function expresses; Arrow batches the shard through pandas once.
+    Shards are the parallelism unit and are sized (n_shards) so one shard
+    fits an executor — the same contract as ``pack_manifest``'s per-shard
+    window sort. Output is manifest-only: (shard, bin_id, id, n_tokens,
+    offset); the writer job joins payloads back by id.
+
+    ``hash_fn='md5'`` uses the portable hash so an external engine replays
+    shard routing — the oracle entry replays the whole greedy rule with a
+    recursive CTE."""
+    import pandas as pd
+
+    if hash_fn == "md5":
+        from ndap_data_validator_spark.functions.porthash import portable_hash64
+
+        shard = F.pmod(portable_hash64(F.col(id_col), seed=seed), F.lit(n_shards))
+    else:
+        shard = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(n_shards)
+        )
+    tagged = docs.select(id_col, ntok_col).withColumn("shard", shard)
+    dtypes = dict(tagged.dtypes)
+    out_schema = (
+        f"shard bigint, bin_id bigint, {id_col} {dtypes[id_col]}, "
+        f"{ntok_col} {dtypes[ntok_col]}, offset bigint"
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ntok_col, id_col], ascending=[False, True])
+        bins: list[int] = []
+        offs: list[int] = []
+        fill = 0
+        bin_id = -1
+        for n in pdf[ntok_col].astype("int64"):
+            if bin_id < 0 or fill + n > budget:
+                bin_id += 1
+                fill = 0
+            offs.append(fill)
+            bins.append(bin_id)
+            fill += int(n)
+        pdf = pdf.assign(bin_id=bins, offset=offs)
+        return pdf[["shard", "bin_id", id_col, ntok_col, "offset"]]
+
+    return tagged.groupBy("shard").applyInPandas(_pack, out_schema)

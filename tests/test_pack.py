@@ -100,3 +100,47 @@ def test_pack_manifest_md5_portable_routing(spark):
     out = pack_manifest(chunks, budget=9, n_shards=4, hash_fn="md5").collect()
     assert len(out) == 50
     assert {r["shard"] for r in out} <= {0, 1, 2, 3}
+
+
+def test_pack_nosplit_never_splits_and_conserves(spark):
+    """VERDICT r03 #4: doc-boundary-respecting packing — every doc appears
+    exactly once, bins never exceed the budget (except a single oversized
+    doc alone in its bin), offsets are the running fill."""
+    from ndap_data_validator_spark.operators.pack import pack_nosplit
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(200)] + [(999, 500)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = pack_nosplit(docs, budget=128, n_shards=8).collect()
+
+    # every doc exactly once — nothing split, nothing dropped
+    assert sorted(r["doc_id"] for r in out) == sorted(r[0] for r in rows)
+    assert sum(r["n_tokens"] for r in out) == sum(r[1] for r in rows)
+
+    by_bin: dict[tuple, list] = {}
+    for r in out:
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for members in by_bin.values():
+        s = sum(m["n_tokens"] for m in members)
+        if s > 128:  # only an oversized doc may overflow, and only alone
+            assert len(members) == 1 and members[0]["doc_id"] == 999
+        # offsets are the running fill in (n_tokens DESC, id) order
+        members.sort(key=lambda m: (-m["n_tokens"], m["doc_id"]))
+        fill = 0
+        for m in members:
+            assert m["offset"] == fill
+            fill += m["n_tokens"]
+
+
+def test_pack_nosplit_deterministic_and_partition_independent(spark):
+    from ndap_data_validator_spark.operators.pack import pack_nosplit
+
+    rows = [(i, 5 + i % 60) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    a = sorted(map(tuple, pack_nosplit(docs, budget=100, n_shards=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_nosplit(docs.repartition(13), budget=100, n_shards=4).collect(),
+        )
+    )
+    assert a == b and len(a) == 300

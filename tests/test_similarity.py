@@ -230,3 +230,23 @@ def test_semantic_dedup_flood_is_star_capped(spark):
     keepers = [r["vec_id"] for r in out if r["is_keeper"]]
     assert keepers == [0]
     assert len(out) == n
+
+
+def test_ivf_lloyd_many_iterations_bounded_lineage(spark):
+    """VERDICT r03 #7 (minor): the Lloyd loop localCheckpoints per round,
+    so an 8-iteration quantizer neither recomputes nor compiles an
+    exponentially nested plan — the run completes quickly and the final
+    plan is checkpoint-rooted (no 8-deep join tree)."""
+    import random
+
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = S.ivf_centroids(emb, n_centroids=4, lloyd_iterations=8)
+    rows = cents.collect()
+    assert len(rows) <= 4 and all(len(r["centroid"]) == 4 for r in rows)
+    # checkpointed: the logical plan no longer references the corpus scan
+    plan = cents._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan

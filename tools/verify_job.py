@@ -400,5 +400,64 @@ with _tf.TemporaryDirectory() as _sd:
     assert n_out == n_keys <= n_in, (n_in, n_out, n_keys)
     print("stream dedup:", 2 * n_in, "arrivals ->", n_out, "unique emissions")
 
+# --- round-4 additions: real BPE, no-split packing, quality classifier ---
+
+from ndap_data_validator_spark.functions.bpe import bpe_token_count, bpe_tokens
+from ndap_data_validator_spark.operators.pack import pack_nosplit
+
+bpe_docs = docs.where(F.col("doc_id").isNotNull())
+counts = bpe_docs.select(
+    "doc_id",
+    bpe_token_count(F.col("text")).alias("n_bpe"),
+    F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws"),
+)
+agg = counts.agg(F.sum("n_bpe").alias("b"), F.sum("n_ws").alias("w")).first()
+assert agg["b"] > agg["w"] > 0, agg  # BPE budget is finer than ws proxy
+recon = bpe_docs.select(
+    (F.array_join(bpe_tokens(F.col("text")), "")
+     == F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("ok")
+).agg(F.sum(F.col("ok").cast("int")).alias("n"), F.count("*").alias("t")).first()
+assert recon["n"] == recon["t"], recon  # lossless reconstruction
+print("bpe: ", agg["b"], "bpe tokens vs", agg["w"], "ws tokens, reconstruction ok")
+
+sized = counts.where(F.col("n_bpe") > 0).select("doc_id", F.col("n_bpe").alias("n_tokens"))
+ns = pack_nosplit(sized, budget=256, n_shards=8)
+n_docs_in = sized.count()
+n_docs_out = ns.count()
+tot_ns = ns.agg(F.sum("n_tokens")).first()[0]
+tot_sized = sized.agg(F.sum("n_tokens")).first()[0]
+assert n_docs_in == n_docs_out and tot_ns == tot_sized
+over = (
+    ns.groupBy("shard", "bin_id")
+    .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c"))
+    .where((F.col("s") > 256) & (F.col("c") > 1)).count()
+)
+assert over == 0  # a bin over budget may only hold one oversized doc
+print("pack_nosplit:", n_docs_out, "docs ->", ns.select("shard", "bin_id").distinct().count(), "bins, no doc split")
+
+from ndap_data_validator_spark.functions.quality_clf import (
+    score_quality,
+    train_quality_classifier,
+)
+
+mangle = F.regexp_replace(F.col("text"), "[aeiou]", "q")
+pos = bpe_docs.select("doc_id", "text", F.lit(True).alias("label"))
+neg = bpe_docs.select(
+    F.concat(F.lit("neg-"), F.col("doc_id")).alias("doc_id"),
+    mangle.alias("text"),
+    F.lit(False).alias("label"),
+)
+wts, consts = train_quality_classifier(pos.unionByName(neg), "label", n_buckets=512, seed=7)
+scored = score_quality(
+    pos.select("doc_id", "text").unionByName(neg.select("doc_id", "text")),
+    wts, consts, n_buckets=512, seed=7, round_digits=6,
+)
+acc = scored.select(
+    (F.col("predicted") == ~F.col("doc_id").startswith("neg-"))
+    .cast("int").alias("ok")
+).agg(F.avg("ok")).first()[0]
+assert acc > 0.95, acc  # planted classes are trivially separable
+print(f"quality classifier: holdout-free accuracy {acc:.3f} on planted classes")
+
 print("JOB OK")
 spark.stop()
