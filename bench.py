@@ -279,43 +279,150 @@ def run_scaling(repeats: int = 3) -> None:
     print(f"appended scaling section to {path}")
 
 
-def run_scaling_interleaved(pairs: int = 6) -> None:
-    """N-vs-4N evidence with INTERLEAVED legs (VERDICT r03 #6): alternate
-    local[8] and local[32] subprocesses so both legs sample the same host-
-    noise distribution, then report BOTH the pooled-minimum efficiency
-    (least-interference estimate per leg) and the per-pair distribution —
-    back-to-back campaigns let one noisy window own an entire leg (3 of 4
-    r3 windows measured 0.61-0.74 while the quiet window gave 0.88)."""
+def _spin(seconds: float) -> int:
+    """Register-only busy loop; returns iterations completed."""
+    t_end = time.time() + seconds
+    n = 0
+    while time.time() < t_end:
+        n += 1
+    return n
+
+
+def host_scaling_probe(seconds: float = 3.0) -> float:
+    """Measured 8→32-process spin-scaling efficiency of the HOST, the only
+    reliable contention probe on this VM class: co-tenant load is invisible
+    to /proc (steal stays 0, idle reads ~100%) yet caps effective cores —
+    a window where local[32] ran no faster than local[8] showed exactly
+    this signature. Quiet-host baseline ≈ 0.87."""
+    import multiprocessing as mp
+
+    res = {}
+    for procs in (8, 32):
+        with mp.Pool(procs) as pool:
+            iters = pool.map(_spin, [seconds] * procs)
+        res[procs] = sum(iters) / seconds
+    return (res[32] / res[8]) / 4.0
+
+
+def run_turns_server(cpus: int, n_rows: int) -> None:
+    """Long-lived measurement server: build the session once, then run the
+    throughput job on demand ('RUN' on stdin → 'WALL <sec>' on stdout).
+    Keeping the JVM resident is what makes interleaved measurement honest:
+    a FRESH JVM's first runs are 3-16× slower (cold page cache on the
+    multi-GB input + C2/codegen warmup — observed 478s→75→60→29s across
+    runs of the identical job), so one-shot subprocess legs measure
+    warmup, not the engine."""
+    spark = _make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    _materialize_transcripts(spark, n_rows)  # not timed
+    print("READY", flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "RUN":
+            w = _throughput_job(spark, n_rows)
+            print(f"WALL {w:.3f}", flush=True)
+        elif cmd == "EXIT":
+            break
+    spark.stop()
+
+
+def run_scaling_interleaved(
+    pairs: int = 6, warmups: int = 2, min_host_eff: float = 0.7
+) -> None:
+    """N-vs-4N evidence with INTERLEAVED legs (VERDICT r03 #6): two
+    persistent Spark sessions (local[8] and local[32]) are warmed, then
+    timed runs ALTERNATE between them so both parallelism levels sample
+    the same host-noise windows — back-to-back campaigns let one noisy
+    window own an entire leg (3 of 4 r3 windows measured 0.61-0.74 while
+    the quiet window gave 0.88). Reports the pooled-minimum efficiency
+    (least-interference estimate per leg) AND the per-pair distribution.
+    A spin-scaling preflight aborts when a co-tenant is capping effective
+    cores (invisible to /proc — measured, not inferred)."""
     n_rows = BENCH_TURNS
-    walls: dict[int, list[float]] = {8: [], 32: []}
-    for p in range(pairs):
-        for cpus in (8, 32):
-            out = subprocess.run(
-                [
-                    sys.executable, os.path.abspath(__file__),
-                    "--turns-job", str(cpus), str(n_rows), "1",
-                ],
-                capture_output=True, text=True, env=dict(os.environ),
-                check=True,
-            )
-            wall = float(out.stdout.strip().splitlines()[-1].split()[0])
-            walls[cpus].append(wall)
-            print(f"pair {p + 1}/{pairs} local[{cpus}]: {wall:.2f}s", flush=True)
+    probe = host_scaling_probe()
+    print(f"host spin-scaling preflight (8→32 procs): {probe:.2f}")
+    if probe < min_host_eff:
+        print(
+            f"host efficiency {probe:.2f} < {min_host_eff}: a co-tenant is "
+            "capping effective cores — engine scaling measured now would be "
+            "platform-bound, not plan-bound. Aborting; retry when the probe "
+            "clears (set min_host_eff=0 to force)."
+        )
+        return
+
+    servers: dict[int, subprocess.Popen] = {}
+    for cpus in (8, 32):
+        p = subprocess.Popen(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--turns-server", str(cpus), str(n_rows),
+            ],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+            env=dict(os.environ),
+        )
+        for line in p.stdout:
+            if line.strip() == "READY":
+                break
+        servers[cpus] = p
+
+    def leg(cpus: int) -> float:
+        p = servers[cpus]
+        p.stdin.write("RUN\n")
+        p.stdin.flush()
+        for line in p.stdout:
+            if line.startswith("WALL "):
+                return float(line.split()[1])
+        raise RuntimeError(f"turns-server local[{cpus}] died")
+
+    try:
+        warm: dict[int, list[float]] = {8: [], 32: []}
+        for _ in range(warmups):
+            for cpus in (8, 32):
+                warm[cpus].append(leg(cpus))
+        print(
+            f"warmup runs (discarded): local[8] "
+            f"{[round(w, 1) for w in warm[8]]}, local[32] "
+            f"{[round(w, 1) for w in warm[32]]}", flush=True,
+        )
+        walls: dict[int, list[float]] = {8: [], 32: []}
+        probes: list[float] = []
+        for p_i in range(pairs):
+            probes.append(host_scaling_probe(1.5))
+            for cpus in (8, 32):
+                wall = leg(cpus)
+                walls[cpus].append(wall)
+                print(
+                    f"pair {p_i + 1}/{pairs} local[{cpus}]: {wall:.2f}s",
+                    flush=True,
+                )
+    finally:
+        for p in servers.values():
+            try:
+                p.stdin.write("EXIT\n")
+                p.stdin.flush()
+            except Exception:
+                pass
+            p.terminate()
     per_pair = [(walls[8][i] / walls[32][i]) / 4.0 for i in range(pairs)]
     pooled = (min(walls[8]) / min(walls[32])) / 4.0
     med = sorted(per_pair)[len(per_pair) // 2]
     print(
         f"pooled-min efficiency: {pooled:.2f}; per-pair: "
-        f"{[round(e, 2) for e in per_pair]}; median pair: {med:.2f}"
+        f"{[round(e, 2) for e in per_pair]}; median pair: {med:.2f}; "
+        f"host probes per pair: {[round(x, 2) for x in probes]}"
     )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## Interleaved 8v32 scaling campaign — {n_rows:,} turns, "
             f"{pairs} pairs\n\n"
-            "Legs alternate local[8] → local[32] per pair (fresh subprocess "
-            "each, same input), so both parallelism levels sample the same "
-            "host-noise windows.\n\n"
+            "Two PERSISTENT warmed sessions (local[8], local[32]); timed "
+            "runs alternate between them on the same input, so both "
+            "parallelism levels sample the same host-noise windows and no "
+            f"sample pays fresh-JVM warmup (discarded warmups: local[8] "
+            f"{[round(w, 1) for w in warm[8]]}, local[32] "
+            f"{[round(w, 1) for w in warm[32]]}).\n\n"
             "| pair | local[8] wall (s) | local[32] wall (s) | efficiency |\n"
             "|---|---|---|---|\n"
             + "".join(
@@ -326,7 +433,9 @@ def run_scaling_interleaved(pairs: int = 6) -> None:
             + f"\nPooled minima: local[8] {min(walls[8]):.2f}s, local[32] "
             f"{min(walls[32]):.2f}s → **pooled efficiency {pooled:.2f}** "
             f"(target ≥ 0.8); median per-pair {med:.2f}; full distribution "
-            f"{[round(e, 2) for e in per_pair]}.\n"
+            f"{[round(e, 2) for e in per_pair]}. Host spin-scaling probe "
+            f"before campaign {probe:.2f} (quiet baseline ≈ 0.87), per pair "
+            f"{[round(x, 2) for x in probes]}.\n"
         )
     print("appended interleaved scaling section to BENCH/BASELINE.md")
 
@@ -336,6 +445,10 @@ if __name__ == "__main__":
         run_scaling()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-interleaved":
         run_scaling_interleaved(int(sys.argv[2]) if len(sys.argv) > 2 else 6)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--turns-server":
+        run_turns_server(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--host-probe":
+        print(f"{host_scaling_probe():.3f}")
     elif len(sys.argv) > 1 and sys.argv[1] == "--turns-job":
         run_turns_job(
             int(sys.argv[2]),

@@ -92,6 +92,10 @@ def curate_corpus(
     decontaminate_n: int = 13,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    quality_model: tuple[DataFrame, DataFrame] | None = None,
+    clf_n_buckets: int = 1024,
+    clf_seed: int = 7,
+    clf_hash_fn: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, funnel):
 
@@ -99,6 +103,14 @@ def curate_corpus(
       per-doc signals (quality, lang) that gated them;
     * ``funnel``  — one row per stage (stage, survivors) counting documents
       alive after each successive gate, in one aggregate.
+
+    The quality gate defaults to the heuristic ``quality_score >=
+    min_quality``. Pass ``quality_model=(weights, consts)`` from
+    ``functions.quality_clf.train_quality_classifier`` to gate on the
+    trained hashed-feature classifier instead (the fastText-style upgrade —
+    VERDICT r03 #8): the gate becomes the model's ``predicted`` bit, the
+    heuristic score is still reported per doc, and the extra cost is one
+    explode → broadcast-join(weights) → groupBy(doc) pass.
     """
     t = F.col(text_col)
     flagged = docs.select(
@@ -122,6 +134,19 @@ def curate_corpus(
         (F.col(id_col) == F.min(id_col).over(w_fp)).alias("__is_keeper"),
     )
 
+    if quality_model is not None:
+        from ndap_data_validator_spark.functions.quality_clf import score_quality
+
+        weights, consts = quality_model
+        preds = score_quality(
+            docs.select(id_col, text_col), weights, consts,
+            text_col=text_col, id_col=id_col, n_buckets=clf_n_buckets,
+            seed=clf_seed, hash_fn=clf_hash_fn, round_digits=6,
+        ).select(id_col, F.col("predicted").alias("__clf_pass"))
+        flagged = flagged.join(preds, id_col, "left").withColumn(
+            "__clf_pass", F.coalesce(F.col("__clf_pass"), F.lit(False))
+        )
+
     if benchmark is not None:
         bh = benchmark_ngram_hashes(
             benchmark, text_col, n=decontaminate_n, seed=seed, hash_fn=hash_fn
@@ -136,7 +161,10 @@ def curate_corpus(
     else:
         flagged = flagged.withColumn("__clean", F.lit(True))
 
-    s1 = F.col("quality") >= min_quality
+    if quality_model is not None:
+        s1 = F.col("__clf_pass")
+    else:
+        s1 = F.col("quality") >= min_quality
     s2 = s1 & F.col("lang").isin(*languages)
     s3 = s2 & F.col("__is_keeper")
     s4 = s3 & F.col("__clean")

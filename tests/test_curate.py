@@ -83,3 +83,35 @@ def test_corpus_mixture_report(spark):
     assert rows["de"]["token_share"] == 0.3333
     assert rows["en"]["tokens_bpe"] >= rows["en"]["tokens_ws"]
     assert 0.0 <= rows["en"]["avg_quality"] <= 1.0
+
+
+def test_funnel_with_trained_quality_classifier(spark):
+    """VERDICT r03 #8: the funnel optionally gates on the trained
+    hashed-feature classifier instead of the heuristic — mangled docs are
+    filtered out, clean ones survive, and the heuristic quality score is
+    still reported on survivors."""
+    from ndap_data_validator_spark.functions.quality_clf import (
+        train_quality_classifier,
+    )
+    from ndap_data_validator_spark.operators.curate import curate_corpus
+
+    good = [
+        (i, f"the quick brown fox number {i} jumps over the lazy dog and runs")
+        for i in range(20)
+    ]
+    bad = [(100 + i, "zzq qqz xkcd qx " * 4) for i in range(10)]
+    docs = spark.createDataFrame(good + bad, "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(t, True) for _, t in good] + [(t, False) for _, t in bad],
+        "text string, label boolean",
+    )
+    model = train_quality_classifier(train, "label", n_buckets=256, seed=3)
+    curated, funnel = curate_corpus(
+        docs, quality_model=model, clf_n_buckets=256, clf_seed=3,
+    )
+    stages = {r["stage"]: r["survivors"] for r in funnel.collect()}
+    assert stages["ingested"] == 30
+    assert stages["quality_gate"] == 20  # classifier drops every mangled doc
+    kept = {r["doc_id"] for r in curated.collect()}
+    assert kept == {i for i, _ in good}
+    assert "quality" in curated.columns  # heuristic still reported

@@ -203,6 +203,57 @@ def main() -> None:
             "stage costs no extra passes over the corpus.",
         ),
         (
+            "Merge-table BPE encode (pure-Catalyst replace chain)",
+            df.select(
+                "conv_id",
+                __import__(
+                    "ndap_data_validator_spark.functions.bpe", fromlist=["b"]
+                ).bpe_token_count(F.col("text")).alias("n")
+            ),
+            "The entire tokenizer — pretokenize regex, sentinel wrap, ~44 "
+            "merge replaces, count — is ONE Project inside whole-stage "
+            "codegen: no shuffle, no Python, no UDF. At 100 TB this is a "
+            "scan-level projection persisted as an index column.",
+        ),
+        (
+            "No-split packing (one exchange + per-shard Arrow sweep)",
+            __import__(
+                "ndap_data_validator_spark.operators.pack", fromlist=["p"]
+            ).pack_nosplit(
+                df.select(F.col("conv_id").alias("doc_id"),
+                          (F.col("turn_idx") + 1).alias("n_tokens")),
+                budget=256, n_shards=8,
+            ),
+            "Exactly ONE Exchange (hashpartitioning on the shard key) "
+            "feeding FlatMapGroupsInPandas — the greedy bin fold is "
+            "sequential per shard, Arrow-batched, and shards are the "
+            "parallelism unit; nothing global, nothing driver-side.",
+        ),
+        (
+            "Hashed-feature quality classifier (broadcast weights)",
+            (lambda qc, docs: qc.score_quality(
+                docs,
+                *qc.train_quality_classifier(
+                    docs.withColumn("label", F.col("doc_id").endswith("0")),
+                    "label", n_buckets=128,
+                ),
+                n_buckets=128,
+            ))(
+                __import__(
+                    "ndap_data_validator_spark.functions.quality_clf",
+                    fromlist=["q"],
+                ),
+                df.where(F.col("turn_idx") == 0).select(
+                    F.col("conv_id").alias("doc_id"), F.col("text")
+                ),
+            ),
+            "Training is explode → groupBy(bucket) with map-side partial "
+            "aggregation (bucket-count-sized shuffle). Scoring joins the "
+            "bucket→weight table via an explicit BroadcastHashJoin (the "
+            "table is n_buckets rows by construction) — the corpus never "
+            "shuffles to be scored; the per-doc sum is one groupBy(doc).",
+        ),
+        (
             "Unigram-LM cross-entropy (train + score)",
             _lm_score(spark, df),
             "Training is explode → groupBy(token) with map-side partial "
