@@ -126,3 +126,49 @@ def test_pack_manifest_with_bpe_counts(spark):
     ).first()[0]
     assert total == n_total  # token conservation through chunk+pack
     assert all(0 <= r["offset"] < 32 for r in man)
+
+
+def test_bpe_cross_engine_fuzz(spark):
+    """Seeded random-text fuzz: the Spark chain and the DuckDB rendering
+    must agree on count AND full-stream hash for arbitrary text, including
+    unicode, punctuation runs, contractions, digits, and control chars."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260817)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ 0123456789"
+        " .,!?'\"$%&()[]{}-_/\\:;#@*+=<>|~`^\t\n\x1f\x1e\x07"
+        "éüñçàßœ漢字🙂"
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    srows = {
+        r["id"]: (r["n"], r["s"])
+        for r in df.select(
+            "id",
+            bpe.bpe_token_count(F.col("text")).alias("n"),
+            bpe.bpe_stream(F.col("text")).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    orows = con.execute(
+        f"SELECT id, {bpe.bpe_token_count_sql('text')}, "
+        f"md5({bpe.bpe_stream_sql('text')}) FROM t"
+    ).fetchall()
+    mismatches = []
+    for i, n, h in orows:
+        sn, ss = srows[i]
+        sh = hashlib.md5(ss.encode()).hexdigest()
+        if sn != n or sh != h:
+            mismatches.append((i, texts[i][:40], sn, n))
+    assert not mismatches, mismatches[:5]
