@@ -316,9 +316,12 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS = 0.0, 500_000.0, 20
 
 
-def q_drift_ks_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KS/PSI drift between two halves of orders (orderdate ≤1997 vs >1997)
-    over fixed bins — histogram in the scan, math on ≤22-row frames."""
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift between two halves of orders (orderdate ≤1997 vs >1997), BOTH
+    flavors in one row (consolidated r04, cap): binned KS/PSI — histogram
+    in the scan, math on ≤22-row frames — joined with the fully
+    distributed exact two-sample KS (per-value counts → range-sliced
+    prefix-sum CDFs, no data-sized single task)."""
     o = _t(spark, sf_dir, "orders")
     base = o.where(F.year("o_orderdate") <= 1997)
     cur = o.where(F.year("o_orderdate") > 1997)
@@ -346,10 +349,17 @@ def q_drift_ks_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     }
     (r,) = drift_mod.compare(snap, cur_snap)
-    return spark.createDataFrame(
+    binned = spark.createDataFrame(
         [(r.column, round(r.ks, 6), round(r.psi, 4))],
-        "column string, ks double, psi double",
+        "column string, ks_binned double, psi double",
     )
+    from ndap_data_validator_spark.operators.drift import ks_exact_distributed
+
+    exact = ks_exact_distributed(base, cur, "o_totalprice").select(
+        F.lit("o_totalprice").alias("column"),
+        F.round(F.col("ks"), 6).alias("ks_exact"),
+    )
+    return binned.join(exact, "column")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,19 +871,31 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- rows-only queries (no SQL oracle: multi-stage/driver-math/UDF paths)
 
 
-def q_drift_exact_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample KS, fully distributed (per-value counts → range-id
-    prefix-sum CDFs; no single-task stage) — oracle-checked against DuckDB's
-    window-CDF formulation."""
-    from ndap_data_validator_spark.operators.drift import ks_exact_distributed
+def q_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination (decontaminate.py decontaminate_fuzzy):
+    benchmark items are corpus docs with an appended suffix — the exact
+    13-gram check's worst case (every n-gram near a boundary changes) but
+    an easy fuzzy catch (shingle Jaccard stays high). Cross-corpus
+    MinHash-LSH band join against the broadcast benchmark index, exact
+    Jaccard verify, per-doc rollup; md5-portable so DuckDB replays
+    signatures, banding, candidates, and the verify."""
+    from ndap_data_validator_spark.operators.decontaminate import (
+        decontaminate_fuzzy,
+    )
 
-    o = _t(spark, sf_dir, "orders")
-    base = o.where(F.year("o_orderdate") <= 1997)
-    cur = o.where(F.year("o_orderdate") > 1997)
-    res = ks_exact_distributed(base, cur, "o_totalprice")
-    return res.select(
-        F.lit("o_totalprice").alias("column"),
-        F.round(F.col("ks"), 6).alias("ks_exact"),
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(11)) == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" eval suite suffix")).alias("text")
+    )
+    rep = decontaminate_fuzzy(
+        docs, bench, threshold=0.5, num_hashes=16, bands=8, shingle_n=3,
+        seed=42, hash_fn="md5",
+    )
+    return rep.select(
+        "doc_id",
+        "n_bench_matches",
+        F.round("max_jaccard", 4).alias("max_jaccard"),
+        "contaminated",
     )
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,7 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_rows": q_duplicate_rows,
         "ri_orphans": q_ri_orphans,
         "column_stats": q_column_stats,
-        "drift_ks_psi": q_drift_ks_psi,
+        "drift_report": q_drift_report,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "text_quality": q_text_quality,
@@ -1190,7 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtype_coercion_report": q_dtype_coercion_report,
         "three_way_join": q_three_way_join,
         "except_diff": q_except_diff,
-        "drift_exact_ks": q_drift_exact_ks,
+        "decontamination_fuzzy": q_decontamination_fuzzy,
         "csv_events_rollup": q_csv_events_rollup,
         "dedup_clusters": q_dedup_clusters,
         "pii_scrub": q_pii_scrub,
@@ -1304,6 +1326,77 @@ def _simhash_oracle_sql(seed: int = 42) -> str:
             FROM documents WHERE doc_id < 200),
       hh AS (SELECT doc_id, list_transform(toks, x -> {P('x', seed)}) AS h FROM t)
       SELECT doc_id, {vote_terms} AS simhash64 FROM hh
+    """
+
+
+def _decontamination_fuzzy_oracle_sql(
+    num_hashes: int = 16, bands: int = 8, seed: int = 42,
+    threshold: float = 0.5, shingle_n: int = 3,
+) -> str:
+    """DuckDB replay of decontaminate_fuzzy in its md5 verification
+    configuration: signatures and banding for BOTH corpora, cross-side
+    band join, exact shingle-Jaccard verify, per-doc rollup."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    mins = ", ".join(
+        f"MIN({P('sh', seed + i)}) AS h{i}" for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+
+    def band_selects(sig: str, idc: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT {idc}, {b} AS band_idx, {h} AS band_hash FROM {sig}".format(
+                idc=idc, sig=sig, b=b,
+                h=P(
+                    " || ',' || ".join(
+                        f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+                    )
+                ),
+            )
+            for b in range(bands)
+        )
+
+    k = shingle_n - 1
+    sh_cte = (
+        "SELECT {idc}, CASE WHEN len(w) - {k} <= 0 "
+        "THEN [array_to_string(w, ' ')] "
+        "ELSE list_distinct(list_transform(generate_series(1, len(w) - {k}), "
+        "i -> array_to_string(w[i:i+{k}], ' '))) END AS shingles "
+        "FROM (SELECT {idc}, regexp_split_to_array(regexp_replace("
+        r"lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM {src})"
+    )
+    jac = (
+        "len(list_intersect(x.shingles, y.shingles))::DOUBLE"
+        " / (len(x.shingles) + len(y.shingles)"
+        " - len(list_intersect(x.shingles, y.shingles)))"
+    )
+    return f"""
+      WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+      bench AS (SELECT doc_id AS bench_id, text || ' eval suite suffix' AS text
+                FROM documents WHERE doc_id < 250 AND doc_id % 11 = 0),
+      cs AS ({sh_cte.format(idc='doc_id', k=k, src='corpus')}),
+      bs AS ({sh_cte.format(idc='bench_id', k=k, src='bench')}),
+      cex AS (SELECT doc_id, unnest(shingles) AS sh FROM cs),
+      bex AS (SELECT bench_id, unnest(shingles) AS sh FROM bs),
+      csig AS (SELECT doc_id, {mins} FROM cex GROUP BY doc_id),
+      bsig AS (SELECT bench_id, {mins} FROM bex GROUP BY bench_id),
+      cb AS ({band_selects('csig', 'doc_id')}),
+      bb AS ({band_selects('bsig', 'bench_id')}),
+      cands AS (SELECT DISTINCT cb.doc_id, bb.bench_id
+                FROM cb JOIN bb USING (band_idx, band_hash)),
+      ver AS (SELECT cands.doc_id, {jac} AS j
+              FROM cands JOIN cs x ON cands.doc_id = x.doc_id
+                         JOIN bs y ON cands.bench_id = y.bench_id
+              WHERE {jac} >= {threshold}),
+      per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+                     MAX(j) AS mj
+              FROM ver GROUP BY doc_id)
+      SELECT c.doc_id,
+             CAST(COALESCE(per.n_bench_matches, 0) AS BIGINT)
+               AS n_bench_matches,
+             ROUND(per.mj, 4) AS max_jaccard,
+             per.doc_id IS NOT NULL AS contaminated
+      FROM (SELECT doc_id FROM corpus) c LEFT JOIN per USING (doc_id)
     """
 
 
@@ -2030,7 +2123,7 @@ def oracle_sql() -> dict[str, str]:
                      SUM(fq) OVER (ORDER BY bin_id) AS cq FROM f),
       k AS (SELECT MAX(ABS(cp - cq)) AS ks FROM cdf),
       p AS (SELECT SUM((GREATEST(fq, 1e-6) - GREATEST(fp, 1e-6)) * LN(GREATEST(fq, 1e-6) / GREATEST(fp, 1e-6))) AS psi FROM f)
-      SELECT 'o_totalprice' AS "column", ROUND((SELECT ks FROM k), 6) AS ks, ROUND((SELECT psi FROM p), 4) AS psi
+      SELECT 'o_totalprice' AS "column", ROUND((SELECT ks FROM k), 6) AS ks_binned, ROUND((SELECT psi FROM p), 4) AS psi
     """
 
     drift_exact_ks = """
@@ -2047,6 +2140,11 @@ def oracle_sql() -> dict[str, str]:
       SELECT 'o_totalprice' AS "column",
              ROUND(MAX(ABS(ca::DOUBLE / t.na - cb::DOUBLE / t.nb)), 6) AS ks_exact
       FROM cdf, t
+    """
+
+    drift_report = f"""
+      SELECT b."column", b.ks_binned, b.psi, e.ks_exact
+      FROM ({drift_sql}) b JOIN ({drift_exact_ks}) e USING ("column")
     """
 
     ngram_pairs_cte = r"""
@@ -2290,8 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         "uniqueness_violations": uniqueness,
         "ri_orphans": ri_orphans,
         "column_stats": column_stats_sql,
-        "drift_ks_psi": drift_sql,
-        "drift_exact_ks": drift_exact_ks,
+        "drift_report": drift_report,
         "dedup_exact": dedup_exact,
         "ngram_jaccard": ngram_jaccard,
         "text_quality": text_quality,
@@ -2315,6 +2412,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_manifest": _pack_manifest_oracle_sql(),
         "pack_nosplit": _pack_nosplit_oracle_sql(),
         "decontamination": _decontamination_oracle_sql(),
+        "decontamination_fuzzy": _decontamination_fuzzy_oracle_sql(),
         "tfidf_top_terms": r"""
           WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
           toks AS (SELECT doc_id,

@@ -95,3 +95,99 @@ def decontaminate(
             ).alias("contaminated"),
         )
     )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """FUZZY benchmark decontamination (the companion to the exact n-gram
+    collision check above): flag training documents whose shingle-set
+    Jaccard against ANY benchmark item clears ``threshold``, found via a
+    cross-corpus MinHash-LSH band join — the Llama/GPT-4-report style
+    near-duplicate decontamination that catches paraphrased or lightly
+    edited benchmark leakage the exact 13-gram check misses.
+
+    Returns one row per corpus document: (id, n_bench_matches,
+    max_jaccard, contaminated) — max_jaccard NULL when no candidate
+    survived verification.
+
+    Scale shape, sized for 100 TB corpus vs a ~MB benchmark suite:
+
+      * both sides share the engine's single-shuffle minhash signature
+        plan (one explode + one groupBy); the benchmark's banded index AND
+        its shingle sets are BROADCAST — the corpus never shuffles to be
+        matched, mirroring the exact check's contract;
+      * candidate pairs carry (doc_id, bench_id) only; the exact-Jaccard
+        verify joins shingle sets for candidates only, with the benchmark
+        side again broadcast;
+      * a band bucket's join cell is |corpus_bucket| × |bench_bucket| —
+        bounded by the benchmark's size on one side by assumption (eval
+        suites are thousands of items), so no self-join skew cap is
+        needed; the rollup is one groupBy(doc) over matches.
+
+    ``hash_fn='md5'`` makes signatures, banding, and verification
+    replayable by the DuckDB oracle."""
+    from ndap_data_validator_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures,
+        shingles,
+    )
+
+    bench = benchmark.select(
+        F.col(id_col).alias(bench_id_col), F.col(text_col)
+    )
+    csig = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_n, seed, hash_fn=hash_fn
+    )
+    bsig = minhash_signatures(
+        bench, text_col, bench_id_col, num_hashes, shingle_n, seed,
+        hash_fn=hash_fn,
+    )
+    cband = banded_signatures(csig, id_col, bands, hash_fn)
+    bband = banded_signatures(bsig, bench_id_col, bands, hash_fn)
+    cands = (
+        cband.join(F.broadcast(bband), on=["band_idx", "band_hash"])
+        .select(id_col, bench_id_col)
+        .distinct()
+    )
+    csets = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sa")
+    )
+    bsets = bench.select(
+        F.col(bench_id_col), shingles(F.col(text_col), shingle_n).alias("__sb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    matches = (
+        cands.join(csets, id_col)
+        .join(F.broadcast(bsets), bench_id_col)
+        .select(id_col, jac.alias("__j"))
+        .where(F.col("__j") >= threshold)
+    )
+    per_doc = matches.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("__j").alias("max_jaccard"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bench_matches"), F.lit(0)).alias(
+                "n_bench_matches"
+            ),
+            "max_jaccard",
+            F.col("n_bench_matches").isNotNull().alias("contaminated"),
+        )
+    )

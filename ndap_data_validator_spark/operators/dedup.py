@@ -145,26 +145,20 @@ def _bucket_pairs(
     return full_pairs.unionByName(star_pairs).distinct()
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
-    id_col_out: tuple[str, str] = ("id_a", "id_b"),
-    max_bucket_size: int = 512,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Band the signature (rows = len(sig)/bands), hash each band, self-join
-    on (band_idx, band_hash). Returns distinct candidate pairs (a < b).
-    Probability a pair with Jaccard s collides: 1-(1-s^r)^b.
-
-    Buckets larger than ``max_bucket_size`` (e.g. 10^3 byte-identical docs
-    all landing in one band bucket) emit star pairs instead of all pairs —
-    see _bucket_pairs. Exact duplicates should be removed by dedup_exact
-    BEFORE near-dup LSH anyway; the cap makes the pipeline robust when they
-    aren't.
+    """(id, band_idx, band_hash): the signature split into ``bands`` rows
+    of len(sig)/bands minhashes, each row hashed to one bucket key — the
+    shared LSH index shape for both self-join near-dup mining and
+    cross-corpus (corpus × benchmark) matching.
 
     ``hash_fn='md5'`` hashes each band as portable_hash64 over the
-    comma-joined slice — any engine can replay the banding for verification."""
+    comma-joined slice — any engine can replay the banding for
+    verification."""
 
     def band_hash(b: Column) -> Column:
         sl = F.slice(
@@ -176,12 +170,32 @@ def lsh_candidate_pairs(
             return portable_hash64(F.concat_ws(",", sl))
         return F.xxhash64(sl.cast("string"))
 
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_hash)
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    id_col_out: tuple[str, str] = ("id_a", "id_b"),
+    max_bucket_size: int = 512,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Band the signature, self-join on (band_idx, band_hash). Returns
+    distinct candidate pairs (a < b). Probability a pair with Jaccard s
+    collides: 1-(1-s^r)^b.
+
+    Buckets larger than ``max_bucket_size`` (e.g. 10^3 byte-identical docs
+    all landing in one band bucket) emit star pairs instead of all pairs —
+    see _bucket_pairs. Exact duplicates should be removed by dedup_exact
+    BEFORE near-dup LSH anyway; the cap makes the pipeline robust when they
+    aren't."""
+    banded = banded_signatures(signatures, id_col, bands, hash_fn)
     return _bucket_pairs(
         banded, id_col, ["band_idx", "band_hash"], id_col_out, max_bucket_size
     )

@@ -192,3 +192,74 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert rep[1]["contaminated"] and rep[1]["hit_ratio"] == 1.0
     assert rep[2]["contaminated"] and 0 < rep[2]["n_hits"] < rep[2]["n_ngrams"]
     assert not rep[3]["contaminated"] and rep[3]["n_hits"] == 0
+
+
+def test_decontaminate_fuzzy_catches_paraphrased_leak(spark):
+    """Fuzzy (MinHash-LSH + Jaccard) decontamination catches a lightly
+    edited benchmark copy that the exact n-gram check misses, and leaves
+    unrelated documents unflagged."""
+    from ndap_data_validator_spark.operators.decontaminate import (
+        benchmark_ngram_hashes,
+        decontaminate,
+        decontaminate_fuzzy,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),  # near-verbatim leak (one word changed below)
+            (2, "completely different text about other topics entirely now"),
+            (3, "umami sushi ramen tempura sake mochi bento udon soba gyoza"),
+        ],
+        "doc_id long, text string",
+    )
+    # benchmark = doc 1 with ONE word swapped: every 10-gram differs, so
+    # the exact check at n=10 sees zero collisions...
+    bench = spark.createDataFrame(
+        [(100, base.replace("epsilon", "omega"))], "doc_id long, text string"
+    )
+    exact = decontaminate(
+        docs, benchmark_ngram_hashes(bench, n=10), n=10
+    ).where(F.col("contaminated"))
+    assert exact.count() == 0
+
+    # ...while fuzzy Jaccard (9/11 shared unigrams) flags doc 1 only
+    rep = {
+        r["doc_id"]: r
+        for r in decontaminate_fuzzy(
+            docs, bench, threshold=0.5, shingle_n=1, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert rep[1]["contaminated"] and rep[1]["max_jaccard"] > 0.7
+    assert not rep[2]["contaminated"] and rep[2]["max_jaccard"] is None
+    assert not rep[3]["contaminated"]
+    assert rep[1]["n_bench_matches"] == 1
+
+
+def test_decontaminate_fuzzy_md5_matches_xxhash_semantics(spark):
+    """The md5 verification config flags the same documents as the
+    production xxhash64 config on a clean fixture (band hashing differs;
+    the verified-Jaccard contract does not)."""
+    from ndap_data_validator_spark.operators.decontaminate import (
+        decontaminate_fuzzy,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} with shared words " + "filler " * (i % 3)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" suffix")).alias("text")
+    )
+    a = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_fuzzy(docs, bench, threshold=0.5).collect()
+    }
+    b = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_fuzzy(
+            docs, bench, threshold=0.5, hash_fn="md5"
+        ).collect()
+    }
+    assert a == b
+    assert any(a.values())

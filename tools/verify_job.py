@@ -459,5 +459,18 @@ acc = scored.select(
 assert acc > 0.95, acc  # planted classes are trivially separable
 print(f"quality classifier: holdout-free accuracy {acc:.3f} on planted classes")
 
+from ndap_data_validator_spark.operators.decontaminate import decontaminate_fuzzy
+
+fz_bench = docs.limit(0).unionByName(
+    docs.where(F.col("doc_id").endswith("50")).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" eval suffix")).alias("text")
+    )
+)
+fz = decontaminate_fuzzy(docs, fz_bench, threshold=0.5, shingle_n=2)
+n_flagged = fz.where(F.col("contaminated")).count()
+n_bench2 = fz_bench.count()
+assert n_flagged >= n_bench2 > 0, (n_flagged, n_bench2)
+print("fuzzy decontamination:", n_flagged, "flagged of", fz.count(), "docs,", n_bench2, "bench items")
+
 print("JOB OK")
 spark.stop()
