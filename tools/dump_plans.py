@@ -254,6 +254,26 @@ def main() -> None:
             "shuffles to be scored; the per-doc sum is one groupBy(doc).",
         ),
         (
+            "Fuzzy decontamination (cross-corpus LSH, broadcast benchmark)",
+            (lambda dc, d: dc.decontaminate_fuzzy(
+                d, d.where(F.col("doc_id").endswith("0")), shingle_n=2
+            ))(
+                __import__(
+                    "ndap_data_validator_spark.operators.decontaminate",
+                    fromlist=["d"],
+                ),
+                df.where(F.col("turn_idx") == 0).select(
+                    F.col("conv_id").alias("doc_id"), F.col("text")
+                ),
+            ),
+            "Both sides share the one-shuffle minhash signature plan; the "
+            "benchmark's banded index and shingle sets ride "
+            "BroadcastHashJoins (benchmark is eval-suite-sized by "
+            "contract), so the corpus is never shuffled to be matched; "
+            "the verify joins shingle sets for candidates only and the "
+            "rollup is one groupBy(doc).",
+        ),
+        (
             "Unigram-LM cross-entropy (train + score)",
             _lm_score(spark, df),
             "Training is explode → groupBy(token) with map-side partial "
