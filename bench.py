@@ -148,24 +148,25 @@ def run_default() -> None:
     except Exception:
         pass
 
+    # best-of-2 UNCONDITIONALLY, with the two samples DECORRELATED: the
+    # whole query list is swept twice and each query's minimum taken, so a
+    # multi-minute host stall cannot own both samples of one query (r4: a
+    # stall window recorded 158s for a query whose true cost is ~8s because
+    # back-to-back repeats both landed inside it). Same total cost as
+    # back-to-back best-of-2; strictly better under bursty noise.
     timings: dict[str, float] = {}
-    for name, fn in entry.queries().items():
-        try:
-            # best-of-2 UNCONDITIONALLY: shared-VM steal time stalls single
-            # runs by up to 20× (observed: the same query 8s and 177s
-            # minutes apart; round 2 recorded 42.8s for a 3.8s query because
-            # the first run landed under a stall and the retry threshold was
-            # 30s). Two timed runs and the minimum make a stall survivable
-            # without letting it masquerade as a plan regression.
-            best = float("inf")
-            for _ in range(2):
+    for _sweep in range(2):
+        for name, fn in entry.queries().items():
+            if timings.get(name) == -1.0:
+                continue  # failed in sweep 1; don't fail twice
+            try:
                 t0 = time.time()
                 _noop_write(fn(spark, sf_dir))
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
-        except Exception as e:  # record, don't die
-            timings[name] = -1.0
-            print(f"# bench query {name} failed: {e}", file=sys.stderr)
+                wall = time.time() - t0
+                timings[name] = round(min(timings.get(name, wall), wall), 3)
+            except Exception as e:  # record, don't die
+                timings[name] = -1.0
+                print(f"# bench query {name} failed: {e}", file=sys.stderr)
 
     # two post-sweep samples complete the time-spread best-of-3 (see above)
     try:
@@ -197,6 +198,10 @@ def run_default() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "bench_turns": BENCH_TURNS,
                 "cpus": cpus,
+                # measured host contention at bench time (quiet ≈ 0.87;
+                # sub-0.7 means co-tenant core-capping — read slow numbers
+                # as platform, not plan)
+                "host_scaling_probe": round(host_scaling_probe(1.5), 3),
             }
         )
     )
