@@ -868,7 +868,9 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- rows-only queries (no SQL oracle: multi-stage/driver-math/UDF paths)
+# ---- multi-stage / composed-pipeline queries (every entry below, like
+# every entry above, has a full DuckDB oracle in oracle_sql(): the former
+# rows-only category is empty as of r04 — even hll_distinct is bound-checked)
 
 
 def q_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:

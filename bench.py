@@ -164,8 +164,10 @@ def run_default() -> None:
                 _noop_write(fn(spark, sf_dir))
                 wall = time.time() - t0
                 timings[name] = round(min(timings.get(name, wall), wall), 3)
-            except Exception as e:  # record, don't die
-                timings[name] = -1.0
+            except Exception as e:  # record, don't die — but never let a
+                # sweep-2 failure clobber a valid sweep-1 measurement
+                if name not in timings:
+                    timings[name] = -1.0
                 print(f"# bench query {name} failed: {e}", file=sys.stderr)
 
     # two post-sweep samples complete the time-spread best-of-3 (see above)

@@ -41,6 +41,11 @@ from ndap_data_validator_spark.functions.textstats import BPE_ISH_TOKEN_RE
 SYM = "\x1f"  # wraps every symbol
 SEP = "\x1e"  # joins pretokens (no merge may cross it)
 
+# chars normalized to ' ' before tokenization: C0 controls plus the
+# unicode line terminators (NEL U+0085, LS U+2028, PS U+2029) — the \x{..}
+# escape parses identically in Java regex and RE2
+_CLEAN_RE = r"[\x00-\x1F\x{0085}\x{2028}\x{2029}]"
+
 # Planted English-ish merge table (rank order; every compound part is
 # produced by a strictly earlier merge). Space-prefixed merges mirror real
 # GPT-style vocabularies where " the" is a single token.
@@ -63,10 +68,17 @@ def bpe_stream(col: Column, merges: list[tuple[str, str]] | None = None) -> Colu
     Everything else (count/tokens/hash) derives from this one expression,
     so Catalyst computes the chain once per row."""
     merges = BPE_MERGES_DEFAULT if merges is None else merges
-    clean = F.regexp_replace(col, r"[\x00-\x1F]", " ")
+    # Normalize C0 controls AND the unicode line terminators NEL/LS/PS to
+    # spaces: they are line breaks semantically, and Java's dot (unlike
+    # RE2's) skips them, which would leave them un-wrapped and corrupt the
+    # sentinel framing cross-engine. (?s) on the wrap is belt-and-braces
+    # for anything else the two engines' dot classes disagree on.
+    clean = F.regexp_replace(col, _CLEAN_RE, " ")
     pres = F.regexp_extract_all(clean, F.lit(BPE_ISH_TOKEN_RE), F.lit(0))
     enc = F.array_join(
-        F.transform(pres, lambda t: F.regexp_replace(t, "(.)", SYM + "$1" + SYM)),
+        F.transform(
+            pres, lambda t: F.regexp_replace(t, "(?s)(.)", SYM + "$1" + SYM)
+        ),
         SEP,
     )
     for a, b in merges:
@@ -141,11 +153,12 @@ def bpe_stream_sql(
     # COALESCE: DuckDB's array_to_string of an EMPTY list is NULL, Spark's
     # array_join is '' — normalize to '' so empty/whitespace-only text
     # counts 0 tokens in both engines
+    clean_pat = _CLEAN_RE.replace("'", "''")
     enc = (
         f"COALESCE(array_to_string(list_transform("
-        f"regexp_extract_all(regexp_replace({expr}, '[\\x00-\\x1f]', ' ', 'g'), "
+        f"regexp_extract_all(regexp_replace({expr}, '{clean_pat}', ' ', 'g'), "
         f"'{pat}'), "
-        "t -> regexp_replace(t, '(.)', chr(31) || '\\1' || chr(31), 'g')), "
+        "t -> regexp_replace(t, '(?s)(.)', chr(31) || '\\1' || chr(31), 'g')), "
         "chr(30)), '')"
     )
     for a, b in merges:

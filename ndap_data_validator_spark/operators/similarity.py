@@ -127,11 +127,15 @@ def lsh_topk(
     pairs into one join cell. Oversized buckets keep the ``max_bucket_size``
     members with the smallest xxhash64(id) (deterministic, unbiased by
     insertion order); the dropped members are near-duplicates of the kept
-    ones by construction, so top-k recall degrades gracefully. The default
-    is ``None`` (cap OFF) so existing callers keep their exact candidate
-    sets — dense corpora should opt in (1024 is a good production value);
-    enabling it changes which members dense buckets contribute and can
-    change previously-produced top-k results."""
+    ones by construction, so top-k recall degrades gracefully.
+
+    The default is ``None`` (cap OFF) — the original pre-cap behavior,
+    restored per r03 ADVICE after one round where the default was 1024:
+    results from that round's default callers change back, and dense
+    corpora must now OPT IN (1024 is a good production value; without a
+    cap, 10^4 near-identical vectors in one bucket build a ~10^8-pair
+    join cell). Toggling the cap changes which members dense buckets
+    contribute and therefore previously-produced top-k rows."""
     per_table = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + 1000 * t)

@@ -53,8 +53,17 @@ class CheckpointStore:
           the side copy is stale, drop it.
         * ``__old`` present, main missing → crash between the two renames:
           roll back (rename ``__old`` → main).
-        * ``__compacting`` present → an incomplete (or superseded) side
-          write that never became live; always safe to drop.
+        A leftover ``__compacting`` side dir is deliberately NOT touched:
+        it is garbage after a crash (compact() overwrites it on the next
+        run), and sweeping it here would let a concurrent READER in another
+        process destroy an in-flight compaction's side write. The __old
+        handling is safe under concurrent readers because __old only ever
+        holds a complete copy; the one remaining race (a reader rolling
+        __old back inside the microseconds between compact()'s two
+        renames) makes compact()'s second rename fail, which compact()
+        detects and rolls back — the store is never lost. Compaction
+        itself still requires no concurrent COMMITTER, like the
+        reference's upsert transaction.
 
         The delete-then-rename scheme this replaces had a window where the
         ONLY copy was the side dir under a non-final name: a crash there
@@ -62,15 +71,13 @@ class CheckpointStore:
         checkpoints') and the next run reprocessed everything."""
         fs, HPath = self._hadoop_fs()
         base = self.path.rstrip("/")
-        old, tmp = HPath(base + "__old"), HPath(base + "__compacting")
+        old = HPath(base + "__old")
         main = HPath(base)
         if fs.exists(old):
             if fs.exists(main):
                 fs.delete(old, True)
             else:
                 fs.rename(old, main)
-        if fs.exists(tmp):
-            fs.delete(tmp, True)
 
     def _read(self) -> DataFrame:
         """Empty frame ONLY when the store doesn't exist yet; any other read
@@ -251,8 +258,20 @@ class CheckpointStore:
         old = HPath(base + "__old")
         if fs.exists(old):  # leftover from a crashed swap already recovered
             fs.delete(old, True)
-        fs.rename(HPath(base), old)
-        fs.rename(HPath(tmp), HPath(base))
+        # Hadoop rename reports failure by returning FALSE, not raising —
+        # every step must be checked, and __old may only be deleted once
+        # the new store is live: an unchecked failed rename followed by
+        # delete(old) would destroy the ONLY copy.
+        if not fs.rename(HPath(base), old):
+            raise IOError(f"compact: rename {base} -> {base}__old failed")
+        if not fs.rename(HPath(tmp), HPath(base)):
+            rolled_back = fs.rename(old, HPath(base))
+            detail = (
+                "rolled back, store intact"
+                if rolled_back
+                else f"ROLLBACK ALSO FAILED — full copy preserved at {base}__old"
+            )
+            raise IOError(f"compact: rename {tmp} -> {base} failed; {detail}")
         fs.delete(old, True)
         return int(kept)
 

@@ -139,6 +139,7 @@ def test_bpe_cross_engine_fuzz(spark):
     alphabet = (
         "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ 0123456789"
         " .,!?'\"$%&()[]{}-_/\\:;#@*+=<>|~`^\t\n\x1f\x1e\x07"
+        "\x85\u2028\u2029"  # unicode line terminators: Java dot skips them
         "éüñçàßœ漢字🙂"
     )
     texts = [

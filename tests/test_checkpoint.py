@@ -425,14 +425,16 @@ def test_compaction_crash_recovery(spark, tmp_path):
 
     assert not os.path.exists(path + "__old")  # stale copy dropped
 
-    # leftover __compacting side dir is swept without touching the store
+    # a leftover __compacting side dir is ignored by reads (recovery must
+    # NOT sweep it — a concurrent reader would otherwise destroy an
+    # in-flight compaction's side write) and overwritten by the next
+    # compact(), which still works after all of the above
     shutil.copytree(path, path + "__compacting")
     assert store.completed_partitions("RUN-R", "d") == expect | {"p5"}
-    assert not os.path.exists(path + "__compacting")
-
-    # and a full compact() still works after all that
+    assert os.path.exists(path + "__compacting")  # untouched by reads
     assert store.compact() > 0
     assert store.completed_partitions("RUN-R", "d") == expect | {"p5"}
+    assert not os.path.exists(path + "__compacting")  # consumed by the swap
 
 
 def test_mixed_mode_partition_depth_fails_fast(spark, tmp_path):
