@@ -48,6 +48,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _literal_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Tiny driver-side literal frame in ONE slice (VERDICT r04 #1/#6):
+    bare ``spark.createDataFrame(list, schema)`` plans as a
+    defaultParallelism-slice Python-RDD scan (``applySchemaToPythonRDD``,
+    32 empty-ish tasks), and two of those joined on a constant key fold
+    into a 1024-task CartesianProduct — 13s of pure harness overhead in
+    r4's drift_report. One slice keeps every literal-frame stage at one
+    task and makes the cartesian impossible to hit."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 # ------------------------------------------------- shared derived transcripts
 # A transcript-shaped frame derived from `events` with injected coercion /
 # time-format / null edge cases — the SAME integer-keyed CASE logic in the
@@ -349,17 +362,20 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     }
     (r,) = drift_mod.compare(snap, cur_snap)
-    binned = spark.createDataFrame(
-        [(r.column, round(r.ks, 6), round(r.psi, 4))],
-        "column string, ks_binned double, psi double",
-    )
     from ndap_data_validator_spark.operators.drift import ks_exact_distributed
 
-    exact = ks_exact_distributed(base, cur, "o_totalprice").select(
-        F.lit("o_totalprice").alias("column"),
-        F.round(F.col("ks"), 6).alias("ks_exact"),
+    # Every output value is a driver-side scalar at this point (compare()
+    # ran on the collected histograms; ks_exact_distributed returns one
+    # materialized row) — assemble ONE single-slice literal row instead of
+    # joining two RDD-backed 1-row frames on a constant key, which Catalyst
+    # folds into a condition-less 32×32-task CartesianProduct (VERDICT r04
+    # #1: 13-14s of the 15.8s entry was that join).
+    ks_exact = ks_exact_distributed(base, cur, "o_totalprice").first()["ks"]
+    return _literal_df(
+        spark,
+        [(r.column, round(r.ks, 6), round(r.psi, 4), round(ks_exact, 6))],
+        "column string, ks_binned double, psi double, ks_exact double",
     )
-    return binned.join(exact, "column")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,8 +403,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-quality signal block — one codegen'd projection; carries the
-    regex-pretokenizer token count too (consolidated r04, cap — the real
-    merge-table BPE count has its own bpe_encode entry)."""
+    regex-pretokenizer token count (consolidated r04, cap — the real
+    merge-table BPE count has its own bpe_encode entry) and the n-gram
+    language guess (lang_id folded in r05, cap: same per-doc row shape,
+    one more scan-level column — the slot funds bpe_train)."""
     d = _t(spark, sf_dir, "documents")
     c = F.col("text")
     return d.select(
@@ -399,12 +417,33 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.stopword_ratio(c), 4).alias("stopword_ratio"),
         F.round(T.repetition_ratio(c, n=3), 4).alias("repetition_ratio"),
         T.fingerprint(c).alias("fingerprint"),
+        T.lang_id(c).alias("lang_guess"),
     )
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
+_BPE_TRAIN_DOCS = 160  # doc_id bound: fixed-cost training slice at any SF
+_BPE_TRAIN_MERGES = 10
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE vocabulary training (VERDICT r04 #3): learn the
+    merge table from the corpus itself — per round ONE explode+groupBy
+    pair-count shuffle (output is vocabulary-sized), a top-1 TakeOrdered,
+    one literal replace, lineage cut per round via localCheckpoint. The
+    DuckDB oracle replays the full greedy loop as unrolled CTE steps with
+    the identical state/tie-break expressions, so the learned sequence is
+    checked rank-for-rank, counts included."""
+    from ndap_data_validator_spark.functions.bpe import bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _BPE_TRAIN_DOCS
+    )
+    merges = bpe_train_merges(docs, "text", num_merges=_BPE_TRAIN_MERGES)
+    return _literal_df(
+        spark,
+        [(k, a, b, a + b, cnt) for k, (a, b, cnt) in enumerate(merges)],
+        "rank int, lhs string, rhs string, merged string, pair_count long",
+    )
 
 
 _ANN_PLANES = 8
@@ -1188,6 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_keepers into dedup_clusters (is_keeper column), the two
     # sampling shapes into one method-tagged union, and the regex token
     # count rides text_quality (the real BPE count is bpe_encode).
+    # r05: lang_id folded into text_quality (lang_guess column — same
+    # per-doc projection) to fund the new bpe_train slot.
     return {
         "null_census": q_null_census,
         "coercion_report": q_coercion_report,
@@ -1206,7 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
+        "bpe_train": q_bpe_train,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf": q_ann_ivf,
         "hll_distinct": q_hll_distinct,
@@ -1846,6 +1887,21 @@ def _bpe_encode_oracle_sql() -> str:
     """
 
 
+def _bpe_train_oracle_sql() -> str:
+    """DuckDB replay of the distributed BPE trainer: the greedy loop
+    unrolled into K CTE steps with the exact state / pair-extraction /
+    tie-break expressions the Spark loop runs (functions/bpe.py
+    bpe_train_sql), so the learned merge sequence matches rank-for-rank
+    with counts."""
+    from ndap_data_validator_spark.functions.bpe import bpe_train_sql
+
+    return bpe_train_sql(
+        f"SELECT text FROM documents WHERE doc_id < {_BPE_TRAIN_DOCS}",
+        "text",
+        _BPE_TRAIN_MERGES,
+    )
+
+
 def _pack_nosplit_oracle_sql(
     budget: int = 256, n_shards: int = 4, seed: int = 42
 ) -> str:
@@ -2238,29 +2294,6 @@ def oracle_sql() -> dict[str, str]:
 
     sw = "['the','a','an','of','and','or','to','in','is','are','was','for','on','with','as','at','by','it','this','that']"
     _bpe_pat_tq = T.BPE_ISH_TOKEN_RE.replace("'", "''")
-    text_quality = rf"""
-      WITH t AS (SELECT doc_id, text,
-            CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[]
-                 ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-        FROM documents)
-      SELECT doc_id,
-        CAST(len(toks) AS INT) AS n_tokens_ws,
-        CASE WHEN text IS NULL THEN NULL
-             ELSE CAST(len(regexp_extract_all(text, '{_bpe_pat_tq}')) AS INT)
-             END AS n_tokens_bpe,
-        ROUND(CASE WHEN length(text) > 0
-              THEN length(regexp_replace(text, '[^\p{{L}}]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha_ratio,
-        ROUND(CASE WHEN len(toks) > 0
-              THEN len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains({sw}, x)))::DOUBLE / len(toks) END, 4) AS stopword_ratio,
-        ROUND(CASE WHEN len(toks) - 2 <= 0 THEN NULL
-              ELSE 1.0 - len(list_distinct(list_transform(
-                     generate_series(1, len(toks) - 2),
-                     i -> array_to_string(toks[i:i+2], ' '))))::DOUBLE
-                   / (len(toks) - 2) END, 4) AS repetition_ratio,
-        {fingerprint_sql} AS fingerprint
-      FROM t
-    """
-
     langs = {
         "en": ["the", "and", "of", "is", "with", "that"],
         "de": ["der", "die", "das", "und", "ist", "mit"],
@@ -2271,15 +2304,32 @@ def oracle_sql() -> dict[str, str]:
     for lang, ws_ in langs.items():
         lst = "[" + ",".join(f"'{w}'" for w in ws_) + "]"
         hits.append(
-            f"len(list_filter(toks, x -> list_contains({lst}, x))) AS {lang}"
+            f"len(list_filter(ltoks, x -> list_contains({lst}, x))) AS {lang}"
         )
-    lang_id = rf"""
-      WITH t AS (SELECT doc_id,
+    # lang_guess folded into the text_quality projection (r05 consolidation
+    # — same per-doc scan, frees the 50-entry slot bpe_train occupies)
+    text_quality = rf"""
+      WITH t AS (SELECT doc_id, text,
             CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[]
-                 ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
         FROM documents),
-      s AS (SELECT doc_id, {', '.join(hits)} FROM t)
+      t2 AS (SELECT *, list_transform(toks, x -> lower(x)) AS ltoks FROM t),
+      s AS (SELECT *, {', '.join(hits)} FROM t2)
       SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_tokens_ws,
+        CASE WHEN text IS NULL THEN NULL
+             ELSE CAST(len(regexp_extract_all(text, '{_bpe_pat_tq}')) AS INT)
+             END AS n_tokens_bpe,
+        ROUND(CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^\p{{L}}]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha_ratio,
+        ROUND(CASE WHEN len(toks) > 0
+              THEN len(list_filter(ltoks, x -> list_contains({sw}, x)))::DOUBLE / len(toks) END, 4) AS stopword_ratio,
+        ROUND(CASE WHEN len(toks) - 2 <= 0 THEN NULL
+              ELSE 1.0 - len(list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))))::DOUBLE
+                   / (len(toks) - 2) END, 4) AS repetition_ratio,
+        {fingerprint_sql} AS fingerprint,
         CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
              WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
              WHEN fr > 0 AND fr >= es THEN 'fr'
@@ -2394,7 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact,
         "ngram_jaccard": ngram_jaccard,
         "text_quality": text_quality,
-        "lang_id": lang_id,
+        "bpe_train": _bpe_train_oracle_sql(),
         "hll_distinct": hll_distinct,
         "ann_lsh_buckets": ann_lsh,
         "knn_topk": knn_topk,

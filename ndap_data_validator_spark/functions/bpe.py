@@ -114,6 +114,87 @@ def bpe_tokens(col: Column, merges: list[tuple[str, str]] | None = None) -> Colu
     )
 
 
+# ----------------------------------------------------------------- training
+
+
+def _pair_counts(state_df) -> "DataFrame":  # noqa: F821 (DataFrame below)
+    """Global adjacent-pair counts over the sentinel-framed corpus state —
+    the map/reduce half of one BPE training round: explode pretokens →
+    symbol list → zip-with-shift adjacent pairs → ONE groupBy shuffle with
+    map-side partial counts. Pure Catalyst; the pair frame shrinks to
+    |distinct pairs|, never the corpus."""
+    return (
+        state_df.select(F.explode(F.split("state", SEP)).alias("pt"))
+        .select(
+            F.split(
+                F.expr("substring(pt, 2, greatest(length(pt) - 2, 0))"),
+                SYM + SYM,
+            ).alias("syms")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(syms, 1, greatest(size(syms)-1, 0)), "
+                    "slice(syms, 2, greatest(size(syms)-1, 0)), "
+                    "(x, y) -> named_struct('lhs', x, 'rhs', y))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
+def bpe_train_merges(
+    docs, text_col: str = "text", num_merges: int = 10
+) -> list[tuple[str, str, int]]:
+    """DISTRIBUTED BPE vocabulary training (VERDICT r04 #3): learn
+    ``num_merges`` merges from the corpus itself by the classic greedy
+    loop — count adjacent symbol pairs, take the global argmax, apply the
+    merge, repeat. Returns ``[(lhs, rhs, pair_count), ...]`` in rank order,
+    directly usable as the ``merges`` argument of :func:`bpe_stream` (so
+    the tokenizer is self-hosting: the planted table becomes optional).
+
+    Scale shape per round: ONE explode+groupBy shuffle whose output is
+    |distinct pairs| rows (vocabulary-sized, not corpus-sized), a top-1
+    ``TakeOrdered`` (no full sort), and one literal ``replace`` projection
+    over the state column. The state lineage is cut with
+    ``localCheckpoint`` every round — same pattern as the Lloyd loop in
+    similarity.py — so the plan never grows O(rounds).
+
+    Determinism: ties on pair_count break on (lhs, rhs) ascending under
+    binary (UTF8) string order, which Spark's UTF8_BINARY collation and
+    DuckDB's default VARCHAR order both implement, so the DuckDB oracle
+    replays the exact same merge sequence.
+    """
+    state = (
+        docs.select(bpe_stream(F.col(text_col), merges=[]).alias("state"))
+        .where(F.col("state").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        top = (
+            _pair_counts(state)
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus fully merged (or empty): nothing left to learn
+            break
+        a, b, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["pair_count"])
+        merges.append((a, b, cnt))
+        state = state.withColumn(
+            "state",
+            F.replace(
+                F.col("state"),
+                F.lit(SYM + a + SYM + SYM + b + SYM),
+                F.lit(SYM + a + b + SYM),
+            ),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 # ------------------------------------------------------------ DuckDB replay
 
 
@@ -175,4 +256,59 @@ def bpe_token_count_sql(
     return (
         f"CAST((length({enc}) - length(replace({enc}, chr(31), ''))) / 2 "
         "AS INT)"
+    )
+
+
+def bpe_train_sql(corpus_sql: str, text_expr: str, num_merges: int) -> str:
+    """DuckDB replay of :func:`bpe_train_merges` — the greedy loop UNROLLED
+    as ``num_merges`` chained CTE steps (sK = corpus state after k merges,
+    pK = adjacent-pair counts of sK, mK = that round's argmax merge). The
+    state representation, pair extraction, tie-break (pair_count DESC then
+    (lhs, rhs) ASC under binary string order) and the applied ``replace``
+    are the exact expressions the Spark trainer runs, so the learned merge
+    sequence matches rank-for-rank. ``corpus_sql`` must yield the training
+    rows; ``text_expr`` is the text column within it."""
+    base = bpe_stream_sql(text_expr, merges=[])
+    sym2 = "chr(31) || chr(31)"
+    steps = [
+        f"s0 AS (SELECT {base} AS state FROM ({corpus_sql}) c"
+        f" WHERE {text_expr} IS NOT NULL)"
+    ]
+    for k in range(num_merges):
+        steps.append(
+            f"""p{k} AS (
+        SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS pair_count FROM (
+          SELECT syms[i] AS lhs, syms[i + 1] AS rhs FROM (
+            SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM (
+              SELECT string_split(
+                       substr(pt, 2, greatest(length(pt) - 2, 0)), {sym2}
+                     ) AS syms
+              FROM (SELECT unnest(string_split(state, chr(30))) AS pt
+                    FROM s{k}) u0
+            ) u1
+          ) u2
+        ) q GROUP BY lhs, rhs)"""
+        )
+        steps.append(
+            f"m{k} AS (SELECT {k} AS rank, lhs, rhs, pair_count FROM p{k} "
+            "ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        steps.append(
+            f"""s{k + 1} AS (
+        SELECT replace(state,
+                       chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+                       chr(31) || lhs || rhs || chr(31)) AS state
+        FROM s{k}, m{k})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, lhs, rhs, pair_count FROM m{k}"
+        for k in range(num_merges)
+    )
+    return (
+        "WITH " + ",\n".join(steps) + f"""
+      SELECT CAST(rank AS INT) AS rank, lhs, rhs,
+             lhs || rhs AS merged, pair_count
+      FROM ({union}) allm
+    """
     )
