@@ -56,9 +56,9 @@ def _literal_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     into a 1024-task CartesianProduct — 13s of pure harness overhead in
     r4's drift_report. One slice keeps every literal-frame stage at one
     task and makes the cartesian impossible to hit."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, numSlices=1), schema
-    )
+    from ndap_data_validator_spark.session import literal_frame
+
+    return literal_frame(spark, rows, schema)
 
 
 # ------------------------------------------------- shared derived transcripts
@@ -1517,13 +1517,22 @@ def _url_domain_filter_oracle_sql() -> str:
     from ndap_data_validator_spark.functions.urls import URL_PATTERN
 
     pat = URL_PATTERN.replace("'", "''")
-    # host = authority after the last '@' (userinfo stripped), before the
-    # first ':' (port stripped), lowercased — extract_domains' contract
+    # host = authority after the last '@' (userinfo stripped), then the
+    # bracketed [...] IPv6 literal whole or everything before the first ':'
+    # (port stripped), lowercased — extract_domains' contract, ADVICE r04
+    no_user = (
+        "string_split(lower(regexp_replace(u, "
+        "'^https?://([^/?#]+).*$', '\\1')), '@')[-1]"
+    )
+    host = (
+        f"CASE WHEN starts_with({no_user}, '[') "
+        f"THEN regexp_extract({no_user}, '^(\\[[^\\]]*\\])', 1) "
+        f"ELSE string_split({no_user}, ':')[1] END"
+    )
     dom = (
         "list_distinct(list_transform(regexp_extract_all(text, '{p}'), "
-        "u -> string_split(string_split(lower(regexp_replace(u, "
-        "'^https?://([^/?#]+).*$', '\\1')), '@')[-1], ':')[1]))"
-    ).format(p=pat)
+        "u -> {h}))"
+    ).format(p=pat, h=host)
     blocked = ["site-3.example.com", "site-7.example.com"]
     # label-suffix rule: host = d OR host endswith '.' || d
     hit = " OR ".join(

@@ -170,12 +170,15 @@ def run_default() -> None:
                     timings[name] = -1.0
                 print(f"# bench query {name} failed: {e}", file=sys.stderr)
 
-    # two post-sweep samples complete the time-spread best-of-3 (see above)
-    try:
-        for _ in range(2):
+    # two post-sweep samples complete the time-spread best-of-3 (see
+    # above); each sample fails INDEPENDENTLY (ADVICE r04: one shared try
+    # silently degraded best-of-3 to best-of-1 when the first post-sweep
+    # sample raised), matching the per-query sweep's record-don't-die rule
+    for _ in range(2):
+        try:
             headline_walls.append(_throughput_job(spark, BENCH_TURNS))
-    except Exception as e:
-        print(f"# bench throughput job failed: {e}", file=sys.stderr)
+        except Exception as e:
+            print(f"# bench throughput job failed: {e}", file=sys.stderr)
     if headline_walls:
         wall = min(headline_walls)
         turns_per_sec = BENCH_TURNS / wall

@@ -33,13 +33,19 @@ def extract_domains(col: Column) -> Column:
     """Distinct lowercased HOSTS of every URL in the text. Userinfo and
     port are stripped (``http://u:p@evil.com:8080`` yields ``evil.com``,
     not ``u``/``u:p@evil.com``) — host = authority after the last ``@``,
-    before the first ``:`` — so credentials can't smuggle a blocked domain
-    past the gate."""
+    then either the bracketed ``[...]`` IPv6 literal taken whole (ADVICE
+    r04: the colon port-strip used to mangle ``http://[::1]:8080/x`` into
+    host ``[``) or everything before the first ``:``. So credentials
+    can't smuggle a blocked domain past the gate, and IPv6-hosted entries
+    match blocklist literals like ``[::1]``."""
 
     def _host(u: Column) -> Column:
         auth = F.lower(F.regexp_replace(u, _AUTHORITY_FROM_URL, "$1"))
         no_user = F.element_at(F.split(auth, "@"), -1)
-        return F.element_at(F.split(no_user, ":"), 1)
+        bracketed = F.regexp_extract(no_user, r"^(\[[^\]]*\])", 1)
+        return F.when(no_user.startswith("["), bracketed).otherwise(
+            F.element_at(F.split(no_user, ":"), 1)
+        )
 
     return F.array_distinct(F.transform(extract_urls(col), _host))
 

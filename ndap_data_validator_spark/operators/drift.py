@@ -221,34 +221,46 @@ def ks_exact_distributed(
 def _ks_from_counts(
     spark, base_counts: DataFrame, num_range_partitions: int, out_schema: str
 ) -> DataFrame:
-    row = _ks_agg_plan(base_counts, num_range_partitions)
-    if row is None:  # both sides empty
-        return spark.createDataFrame([(0.0, 0, 0)], out_schema)
-    row = row.first()
+    from ndap_data_validator_spark.session import literal_frame
+
+    # ONE action for the whole statistic — the range-grid bounds ride the
+    # plan as a broadcast aggregate (VERDICT r04 #4: the old separate
+    # min/max .first() made every KS call a 2-action round-trip).
+    row = _ks_agg_plan(base_counts, num_range_partitions).first()
+    if row["n_a"] is None:  # both sides empty
+        return literal_frame(spark, [(0.0, 0, 0)], out_schema)
     # one side empty → division by zero yields NULL: surface it as the
     # documented explicit contract, not an accident of SQL null semantics
     ks = row["ks"] if (row["n_a"] > 0 and row["n_b"] > 0) else None
-    return spark.createDataFrame(
-        [(ks, int(row["n_a"]), int(row["n_b"]))], out_schema
+    return literal_frame(
+        spark, [(ks, int(row["n_a"]), int(row["n_b"]))], out_schema
     )
 
 
 def _ks_agg_plan(
     base_counts: DataFrame, num_range_partitions: int
-) -> DataFrame | None:
+) -> DataFrame:
     """The LAZY distributed KS aggregate over per-value counts (the plan
-    tools/dump_plans.py documents); None when both sides are empty."""
-    mm = base_counts.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
-    lo, hi = mm["lo"], mm["hi"]
-    if lo is None:  # both sides empty
-        return None
-    if lo == hi:
-        hi = lo + 1.0
+    tools/dump_plans.py documents). Fully lazy — the [lo, hi] grid is a
+    broadcast 1-row aggregate inside the plan, so callers pay ONE action.
+    Both sides empty → one row with NULL n_a/n_b (callers map it to the
+    documented contract)."""
     # equal-width range id — even a skewed value distribution only unbalances
     # slice sizes, never correctness (production could swap in approxQuantile
-    # boundaries for balance).
-    pid = F.width_bucket(F.col("v"), F.lit(float(lo)), F.lit(float(hi)), F.lit(num_range_partitions))
-    counts = base_counts.withColumn("pid", pid)
+    # boundaries for balance). The lo==hi degenerate range is patched
+    # column-side.
+    mm = base_counts.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).select(
+        "lo",
+        F.when(F.col("hi") == F.col("lo"), F.col("lo") + 1.0)
+        .otherwise(F.col("hi"))
+        .alias("hi"),
+    )
+    pid = F.width_bucket(
+        F.col("v"), F.col("lo"), F.col("hi"), F.lit(num_range_partitions)
+    )
+    counts = (
+        base_counts.crossJoin(F.broadcast(mm)).withColumn("pid", pid).drop("lo", "hi")
+    )
 
     from pyspark.sql import Window
 

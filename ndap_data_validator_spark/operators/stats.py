@@ -148,6 +148,8 @@ def exact_percentiles_distributed(
 
     from pyspark.sql import Window
 
+    from ndap_data_validator_spark.session import literal_frame
+
     spark = df.sparkSession
     names = [("p%g" % (p * 100)).replace(".", "_") for p in ps]
     schema = ", ".join(["`column` string"] + [f"{n} double" for n in names])
@@ -157,16 +159,23 @@ def exact_percentiles_distributed(
     )
     counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).persist()
     try:
-        mm = counts.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
-        lo, hi = mm["lo"], mm["hi"]
-        if lo is None:  # no non-null values: explicit all-null row
-            return spark.createDataFrame([(column, *([None] * len(ps)))], schema)
-        if lo == hi:
-            hi = lo + 1.0
-        pid = F.width_bucket(
-            F.col("v"), F.lit(float(lo)), F.lit(float(hi)), F.lit(num_range_partitions)
+        # the [lo, hi] range grid stays IN the plan as a broadcast 1-row
+        # aggregate (VERDICT r04 #4: a separate min/max .first() made every
+        # call a 2-action round-trip; at sf0.1 that fixed overhead dominated
+        # except_diff/exact_percentiles). The lo==hi degenerate range is
+        # patched column-side for the same reason.
+        mm = counts.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).select(
+            "lo",
+            F.when(F.col("hi") == F.col("lo"), F.col("lo") + 1.0)
+            .otherwise(F.col("hi"))
+            .alias("hi"),
         )
-        tagged = counts.withColumn("pid", pid)
+        pid = F.width_bucket(
+            F.col("v"), F.col("lo"), F.col("hi"), F.lit(num_range_partitions)
+        )
+        tagged = (
+            counts.crossJoin(F.broadcast(mm)).withColumn("pid", pid).drop("lo", "hi")
+        )
         totals = tagged.groupBy("pid").agg(F.sum("cnt").alias("pc"))
         w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
         offsets = totals.select(
@@ -202,15 +211,18 @@ def exact_percentiles_distributed(
                     )
                 ).alias(f"__hi_{name}")
             )
+        # ONE action for the whole computation (bounds, ranks, order stats)
         row = withn.agg(F.first("n").alias("n"), *aggs).first()
         n = row["n"]
+        if n is None:  # no non-null values: explicit all-null row
+            return literal_frame(spark, [(column, *([None] * len(ps)))], schema)
         out: list[float] = []
         for p, name in zip(ps, names):
             r = (n - 1) * p
             frac = r - math.floor(r)
             vlo, vhi = row[f"__lo_{name}"], row[f"__hi_{name}"]
             out.append(float(vlo + frac * (vhi - vlo)))
-        return spark.createDataFrame([(column, *out)], schema)
+        return literal_frame(spark, [(column, *out)], schema)
     finally:
         counts.unpersist()
 

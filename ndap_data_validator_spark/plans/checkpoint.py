@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ndap_data_validator_spark.session import literal_frame
+
 NULL_PARTITION = "<null>"
 
 CHECKPOINT_SCHEMA = (
@@ -91,7 +93,7 @@ class CheckpointStore:
             return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
         except AnalysisException as e:
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+                return literal_frame(self.spark, [], CHECKPOINT_SCHEMA)
             raise
 
     def completed_partitions(self, run_id: str, rule_digest: str) -> set[str]:
@@ -123,7 +125,8 @@ class CheckpointStore:
             )
         ]
         (
-            self.spark.createDataFrame(
+            literal_frame(
+                self.spark,
                 row,
                 "run_id string, partition_id string, rule_digest string, "
                 "status string, metrics_json string",
@@ -146,7 +149,8 @@ class CheckpointStore:
             for pid, m in partition_metrics.items()
         ]
         (
-            self.spark.createDataFrame(
+            literal_frame(
+                self.spark,
                 rows,
                 "run_id string, partition_id string, rule_digest string, "
                 "status string, metrics_json string",
@@ -186,7 +190,8 @@ class CheckpointStore:
         row = [(f"WM::{scope}", "<watermark>", "", self.WATERMARK_STATUS,
                 json.dumps({"high_watermark": value}))]
         (
-            self.spark.createDataFrame(
+            literal_frame(
+                self.spark,
                 row,
                 "run_id string, partition_id string, rule_digest string, "
                 "status string, metrics_json string",

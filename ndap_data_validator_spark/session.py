@@ -48,3 +48,16 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def literal_frame(spark: SparkSession, rows: list, schema: str):
+    """Tiny driver-side literal frame in ONE slice. Bare
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows over
+    ``defaultParallelism`` Python-RDD slices — dozens of empty tasks per
+    stage, and two such frames joined on a constant key fold into a
+    condition-less CartesianProduct of slices (VERDICT r04 #1: a
+    1024-task, 13s stage for a 1-row×1-row join). One slice keeps every
+    literal-frame stage at one task."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )

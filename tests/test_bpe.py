@@ -173,3 +173,120 @@ def test_bpe_cross_engine_fuzz(spark):
         if sn != n or sh != h:
             mismatches.append((i, texts[i][:40], sn, n))
     assert not mismatches, mismatches[:5]
+
+
+# ------------------------------------------------------------------ training
+
+
+def _py_train_reference(texts, k):
+    """Independent pure-Python replay of the training contract: pretokenize
+    like the engine (clean + GPT-2-ish regex), count adjacent symbol pairs
+    corpus-wide, argmax by (count desc, lhs asc, rhs asc), apply the merge
+    leftmost-non-overlapping, repeat."""
+    import re
+    from collections import Counter
+
+    from ndap_data_validator_spark.functions.textstats import BPE_ISH_TOKEN_RE
+
+    # Python re has no \p classes — substitute the unicode-category
+    # escapes with equivalent char classes for this ASCII-ish fixture
+    pat = (
+        BPE_ISH_TOKEN_RE.replace("\\p{L}", "a-zA-Z").replace("\\p{N}", "0-9")
+    )
+    corpus = []
+    for t in texts:
+        if t is None:
+            continue
+        clean = re.sub("[\x00-\x1f\u0085\u2028\u2029]", " ", t)
+        corpus.append([list(m) for m in re.findall(pat, clean)])
+    merges = []
+    for _ in range(k):
+        c = Counter()
+        for doc in corpus:
+            for pre in doc:
+                for i in range(len(pre) - 1):
+                    c[(pre[i], pre[i + 1])] += 1
+        if not c:
+            break
+        (a, b), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        for doc in corpus:
+            for j, pre in enumerate(doc):
+                out, i = [], 0
+                while i < len(pre):
+                    if i + 1 < len(pre) and pre[i] == a and pre[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(pre[i])
+                        i += 1
+                doc[j] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    texts = [
+        "the theatre is there and then the thing",
+        "in the inn and in the end the hen",
+        "thin things sing and ring the ringing thing",
+        None,
+        "",
+    ] * 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    learned = bpe.bpe_train_merges(df, "text", num_merges=8)
+    assert learned == _py_train_reference(texts, 8)
+    assert all(c > 0 for _, _, c in learned)
+
+
+def test_bpe_train_self_hosting_encode(spark):
+    """The learned table IS a valid merge table for the encoder: every
+    merge's parts are produced by strictly earlier merges (or are base
+    chars), and encoding with it is lossless and strictly compresses."""
+    texts = ["the thing sang the song", "a thing on a string sings"] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    learned = bpe.bpe_train_merges(df, "text", num_merges=6)
+    assert len(learned) == 6
+    produced = set()
+    for a, b, _ in learned:
+        for part in (a, b):
+            assert len(part) == 1 or part in produced, (part, learned)
+        produced.add(a + b)
+    table = [(a, b) for a, b, _ in learned]
+    out = df.select(
+        "text",
+        bpe.bpe_tokens(F.col("text"), table).alias("toks"),
+        bpe.bpe_token_count(F.col("text"), table).alias("n"),
+    ).collect()
+    for r in out:
+        assert "".join(r["toks"]) == r["text"]  # lossless
+        assert r["n"] == len(r["toks"]) < len(r["text"])  # compresses
+
+
+def test_bpe_train_sql_replays_spark(spark):
+    """The DuckDB unrolled-CTE replay learns the identical merge sequence
+    (rank, pair, count) — the oracle behind the bpe_train entry."""
+    texts = [
+        "spark scans parquet and spark shuffles sparks",
+        "the plan scans and the scan plans",
+        "shuffle the parquet plan",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    learned = bpe.bpe_train_merges(df, "text", num_merges=7)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(id, text)",
+        texts,
+    )
+    rows = con.execute(
+        bpe.bpe_train_sql("SELECT text FROM docs", "text", 7)
+    ).fetchall()
+    duck = [(r[1], r[2], r[4]) for r in sorted(rows)]
+    assert duck == learned

@@ -253,3 +253,39 @@ def test_blocklist_subdomain_and_userinfo_bypass(spark):
     assert doms[4] == ["c.evil.com"]
     kept = {r["doc_id"] for r in domain_blocklist_filter(df, ["evil.com"]).collect()}
     assert kept == {0, 5}
+
+
+def test_ipv6_bracketed_host_extraction(spark):
+    """r04 ADVICE (low): bracketed IPv6 authorities must yield the whole
+    '[...]' literal as the host — the colon port-strip used to mangle
+    'http://[::1]:8080/x' into host '[' so IPv6 blocklist entries could
+    never match."""
+    from ndap_data_validator_spark.functions.urls import (
+        domain_blocklist_filter,
+        extract_domains,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "v6 http://[::1]:8080/x"),
+            (1, "v6 noport https://[2001:db8::7]/path"),
+            (2, "v6 userinfo http://u:p@[2001:DB8::7]:443/x"),
+            (3, "v4 http://127.0.0.1:8080/x"),
+        ],
+        "doc_id long, text string",
+    )
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in df.select(
+            "doc_id", extract_domains(F.col("text")).alias("d")
+        ).collect()
+    }
+    assert doms[0] == ["[::1]"]
+    assert doms[1] == ["[2001:db8::7]"]
+    assert doms[2] == ["[2001:db8::7]"]  # userinfo + port stripped, lowered
+    assert doms[3] == ["127.0.0.1"]
+    kept = {
+        r["doc_id"]
+        for r in domain_blocklist_filter(df, ["[::1]", "127.0.0.1"]).collect()
+    }
+    assert kept == {1, 2}
