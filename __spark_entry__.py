@@ -331,46 +331,55 @@ _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS = 0.0, 500_000.0, 20
 
 def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift between two halves of orders (orderdate ≤1997 vs >1997), BOTH
-    flavors in one row (consolidated r04, cap): binned KS/PSI — histogram
-    in the scan, math on ≤22-row frames — joined with the fully
-    distributed exact two-sample KS (per-value counts → range-sliced
-    prefix-sum CDFs, no data-sized single task)."""
+    flavors in one row (consolidated r04, cap): binned KS/PSI and the
+    fully distributed exact two-sample KS (per-value counts → range-sliced
+    prefix-sum CDFs, no data-sized single task), all derived from ONE
+    shared scan's per-value counts (r05)."""
+    from ndap_data_validator_spark.operators.drift import (
+        ks_exact_from_counts,
+        two_sample_value_counts,
+    )
+
     o = _t(spark, sf_dir, "orders")
-    base = o.where(F.year("o_orderdate") <= 1997)
-    cur = o.where(F.year("o_orderdate") > 1997)
-
-    def counts(df):
-        rows = drift_mod.histogram(
-            df, "o_totalprice", _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS
+    # ONE scan of orders: the per-value two-sample counts are the shared
+    # reduction — both histograms derive from a width_bucket rollup of the
+    # (cached, |distinct values|-sized) counts frame and the exact KS runs
+    # its range-slice plan over the same cache (r05; the r4 entry scanned
+    # orders three times).
+    counts = two_sample_value_counts(
+        o, "o_totalprice", F.year("o_orderdate") <= 1997
+    ).persist()
+    try:
+        b = F.width_bucket(
+            F.col("v"), F.lit(_DRIFT_LO), F.lit(_DRIFT_HI), F.lit(_DRIFT_BINS)
+        )
+        hrows = counts.groupBy(b.alias("bin_id")).agg(
+            F.sum("a_cnt").alias("a"), F.sum("b_cnt").alias("b")
         ).collect()
-        return {int(r["bin_id"]): int(r["bin_count"]) for r in rows}
 
-    snap = {
-        "o_totalprice": {
-            "lo": _DRIFT_LO,
-            "hi": _DRIFT_HI,
-            "n_bins": _DRIFT_BINS,
-            "counts": counts(base),
-        }
-    }
-    cur_snap = {
-        "o_totalprice": {
-            "lo": _DRIFT_LO,
-            "hi": _DRIFT_HI,
-            "n_bins": _DRIFT_BINS,
-            "counts": counts(cur),
-        }
-    }
-    (r,) = drift_mod.compare(snap, cur_snap)
-    from ndap_data_validator_spark.operators.drift import ks_exact_distributed
+        def grid(key):
+            return {
+                "o_totalprice": {
+                    "lo": _DRIFT_LO,
+                    "hi": _DRIFT_HI,
+                    "n_bins": _DRIFT_BINS,
+                    # zero-count bins stay ABSENT, exactly like the
+                    # per-side histogram() aggregates they replace
+                    "counts": {
+                        int(r["bin_id"]): int(r[key]) for r in hrows if r[key]
+                    },
+                }
+            }
 
-    # Every output value is a driver-side scalar at this point (compare()
-    # ran on the collected histograms; ks_exact_distributed returns one
-    # materialized row) — assemble ONE single-slice literal row instead of
-    # joining two RDD-backed 1-row frames on a constant key, which Catalyst
-    # folds into a condition-less 32×32-task CartesianProduct (VERDICT r04
-    # #1: 13-14s of the 15.8s entry was that join).
-    ks_exact = ks_exact_distributed(base, cur, "o_totalprice").first()["ks"]
+        (r,) = drift_mod.compare(grid("a"), grid("b"))
+        ks_exact = ks_exact_from_counts(counts).first()["ks"]
+    finally:
+        counts.unpersist()
+    # Every output value is a driver-side scalar at this point — assemble
+    # ONE single-slice literal row instead of joining two RDD-backed 1-row
+    # frames on a constant key, which Catalyst folds into a condition-less
+    # 32×32-task CartesianProduct (VERDICT r04 #1: 13-14s of the 15.8s
+    # entry was that join).
     return _literal_df(
         spark,
         [(r.column, round(r.ks, 6), round(r.psi, 4), round(ks_exact, 6))],

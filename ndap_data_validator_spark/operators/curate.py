@@ -82,6 +82,20 @@ def corpus_mixture_report(
     )
 
 
+def _score_threshold(df, score_col: str, keep_fraction: float) -> float:
+    """The exact (1 − keep_fraction) percentile of ``score_col`` — keeping
+    ``score >= threshold`` retains ~keep_fraction of documents (exact up
+    to interpolation/ties). One distributed order-statistic pass."""
+    from ndap_data_validator_spark.operators.stats import (
+        exact_percentiles_distributed,
+    )
+
+    p = min(max(1.0 - keep_fraction, 0.0), 1.0)
+    row = exact_percentiles_distributed(df, score_col, ps=(p,)).first()
+    # empty/all-null score column: no meaningful cut — keep everything
+    return float("-inf") if row[1] is None else float(row[1])
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -96,6 +110,7 @@ def curate_corpus(
     clf_n_buckets: int = 1024,
     clf_seed: int = 7,
     clf_hash_fn: str = "md5",
+    quality_keep_fraction: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, funnel):
 
@@ -111,6 +126,16 @@ def curate_corpus(
     VERDICT r03 #8): the gate becomes the model's ``predicted`` bit, the
     heuristic score is still reported per doc, and the extra cost is one
     explode → broadcast-join(weights) → groupBy(doc) pass.
+
+    ``quality_keep_fraction`` (VERDICT r04 #7) replaces the fixed cut
+    (``score > 0`` / ``quality >= min_quality``) with a PERCENTILE-
+    CALIBRATED threshold: the gate keeps the top ``quality_keep_fraction``
+    of documents by score — the standard production knob ("keep the best
+    30%", whatever the score distribution looks like today). The threshold
+    is the exact (1−f) order-statistic of the score column, computed with
+    the distributed percentile plan (stats.py — per-value counts, never an
+    all-values buffer), so calibration costs one extra vocabulary-sized
+    aggregate, not a corpus sort.
     """
     t = F.col(text_col)
     flagged = docs.select(
@@ -138,14 +163,26 @@ def curate_corpus(
         from ndap_data_validator_spark.functions.quality_clf import score_quality
 
         weights, consts = quality_model
-        preds = score_quality(
+        scored = score_quality(
             docs.select(id_col, text_col), weights, consts,
             text_col=text_col, id_col=id_col, n_buckets=clf_n_buckets,
             seed=clf_seed, hash_fn=clf_hash_fn, round_digits=6,
-        ).select(id_col, F.col("predicted").alias("__clf_pass"))
-        flagged = flagged.join(preds, id_col, "left").withColumn(
+        )
+        if quality_keep_fraction is not None:
+            thr = _score_threshold(scored, "score", quality_keep_fraction)
+            scored = scored.select(
+                id_col, (F.col("score") >= thr).alias("__clf_pass")
+            )
+        else:
+            scored = scored.select(
+                id_col, F.col("predicted").alias("__clf_pass")
+            )
+        flagged = flagged.join(scored, id_col, "left").withColumn(
             "__clf_pass", F.coalesce(F.col("__clf_pass"), F.lit(False))
         )
+    elif quality_keep_fraction is not None:
+        # no trained model: calibrate the heuristic quality score instead
+        min_quality = _score_threshold(flagged, "quality", quality_keep_fraction)
 
     if benchmark is not None:
         bh = benchmark_ngram_hashes(

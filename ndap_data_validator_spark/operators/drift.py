@@ -218,6 +218,42 @@ def ks_exact_distributed(
         base_counts.unpersist()
 
 
+def two_sample_value_counts(
+    df: DataFrame, column: str, side_a,
+) -> DataFrame:
+    """ONE scan → per-value two-sample counts ``(v, a_cnt, b_cnt)``: the
+    shared reduction from which BOTH the binned drift histograms (a
+    width_bucket rollup of this frame) and the exact KS
+    (:func:`ks_exact_from_counts`) derive — so a full drift report costs
+    one pass over the data instead of three (r05; the r4 entry scanned
+    orders once per histogram plus once for the KS). ``side_a`` is a
+    boolean Column splitting the two samples; rows where it is NULL belong
+    to neither and are excluded, like NULL values."""
+    keep = F.col(column).isNotNull() & side_a.isNotNull()
+    flag = F.when(side_a, 1).otherwise(0)
+    return (
+        df.where(keep)
+        .groupBy(F.col(column).cast("double").alias("v"))
+        .agg(
+            F.sum(flag).alias("a_cnt"),
+            F.sum(F.lit(1) - flag).alias("b_cnt"),
+        )
+    )
+
+
+def ks_exact_from_counts(
+    counts: DataFrame, num_range_partitions: int = 32
+) -> DataFrame:
+    """Exact two-sample KS over a PRECOMPUTED ``(v, a_cnt, b_cnt)``
+    per-value counts frame (see :func:`two_sample_value_counts`) — the
+    share-the-scan path. Callers reusing ``counts`` for other rollups
+    should persist it themselves; this function does not cache."""
+    spark = counts.sparkSession
+    return _ks_from_counts(
+        spark, counts, num_range_partitions, "ks double, n_a long, n_b long"
+    )
+
+
 def _ks_from_counts(
     spark, base_counts: DataFrame, num_range_partitions: int, out_schema: str
 ) -> DataFrame:

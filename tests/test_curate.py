@@ -115,3 +115,45 @@ def test_funnel_with_trained_quality_classifier(spark):
     kept = {r["doc_id"] for r in curated.collect()}
     assert kept == {i for i, _ in good}
     assert "quality" in curated.columns  # heuristic still reported
+
+
+def test_funnel_calibrated_keep_fraction(spark):
+    """VERDICT r04 #7: quality_keep_fraction calibrates the gate threshold
+    to the score distribution (exact distributed percentile) so the
+    quality gate keeps ~the target fraction regardless of where the raw
+    scores sit."""
+    from ndap_data_validator_spark.functions.quality_clf import (
+        train_quality_classifier,
+    )
+    from ndap_data_validator_spark.operators.curate import curate_corpus
+
+    # graded quality: doc i repeats a filler word i times -> scores vary
+    # continuously; no planted pass/fail split
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "the quick brown fox jumps over the lazy dog "
+                + " ".join(["zxqj"] * (i % 20)),
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    labeled = docs.withColumn("label", (F.col("doc_id") % 20 < 10))
+    model = train_quality_classifier(
+        labeled, text_col="text", label_col="label", n_buckets=256, seed=3
+    )
+    _, funnel = curate_corpus(
+        docs, quality_model=model, clf_n_buckets=256, clf_seed=3,
+        quality_keep_fraction=0.3,
+    )
+    stages = {r["stage"]: r["survivors"] for r in funnel.collect()}
+    assert stages["ingested"] == 40
+    # >= threshold keeps the target fraction up to score ties (scores here
+    # cluster by i%20, so ties can round the cut to a neighbouring group)
+    assert 8 <= stages["quality_gate"] <= 16
+    # heuristic path: same knob without a trained model
+    _, funnel2 = curate_corpus(docs, quality_keep_fraction=0.5)
+    stages2 = {r["stage"]: r["survivors"] for r in funnel2.collect()}
+    assert 16 <= stages2["quality_gate"] <= 24
