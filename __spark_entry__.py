@@ -693,19 +693,52 @@ _STRATA_RATES = {"F": 0.1, "O": 0.02, "P": 1.0}
 
 
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (GPT-3/Dolma-style n-gram collision): every
-    7th document plays the 'evaluation suite'; its distinct 8-gram hash set
-    is broadcast and each document reports its overlap. Benchmark members
-    flag themselves at hit_ratio 1.0 — the verbatim-leak case."""
+    """BOTH benchmark-decontamination flavors, method-tagged (consolidated
+    r05 to fund the repeated_ngrams slot; columns aligned as
+    (method, doc_id, n_matches, score, contaminated)):
+
+    * 'exact' — GPT-3/Dolma-style n-gram collision: every 7th document
+      plays the 'evaluation suite'; its distinct 8-gram hash set is
+      broadcast and each document reports its overlap (score =
+      hit_ratio; benchmark members flag themselves at 1.0);
+    * 'fuzzy' — benchmark items are corpus docs with an appended suffix
+      (the exact check's worst case, an easy fuzzy catch): cross-corpus
+      MinHash-LSH band join against the broadcast benchmark index, exact
+      Jaccard verify, per-doc rollup (score = max_jaccard, NULL when no
+      candidate survives). md5-portable end to end."""
     from ndap_data_validator_spark.operators.decontaminate import (
         benchmark_ngram_hashes,
         decontaminate,
+        decontaminate_fuzzy,
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
     bench = docs.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
     bh = benchmark_ngram_hashes(bench, n=8, seed=42, hash_fn="md5")
-    return decontaminate(docs, bh, n=8, seed=42, hash_fn="md5")
+    exact = decontaminate(docs, bh, n=8, seed=42, hash_fn="md5").select(
+        F.lit("exact").alias("method"),
+        "doc_id",
+        F.col("n_hits").alias("n_matches"),
+        F.col("hit_ratio").alias("score"),
+        "contaminated",
+    )
+
+    fdocs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    fbench = fdocs.where(F.pmod(F.col("doc_id"), F.lit(11)) == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" eval suite suffix")).alias("text"),
+    )
+    fuzzy = decontaminate_fuzzy(
+        fdocs, fbench, threshold=0.5, num_hashes=16, bands=8, shingle_n=3,
+        seed=42, hash_fn="md5",
+    ).select(
+        F.lit("fuzzy").alias("method"),
+        "doc_id",
+        F.col("n_bench_matches").alias("n_matches"),
+        F.round("max_jaccard", 4).alias("score"),
+        "contaminated",
+    )
+    return exact.unionByName(fuzzy)
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,32 +954,34 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only category is empty as of r04 — even hll_distinct is bound-checked)
 
 
-def q_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FUZZY decontamination (decontaminate.py decontaminate_fuzzy):
-    benchmark items are corpus docs with an appended suffix — the exact
-    13-gram check's worst case (every n-gram near a boundary changes) but
-    an easy fuzzy catch (shingle Jaccard stays high). Cross-corpus
-    MinHash-LSH band join against the broadcast benchmark index, exact
-    Jaccard verify, per-doc rollup; md5-portable so DuckDB replays
-    signatures, banding, candidates, and the verify."""
-    from ndap_data_validator_spark.operators.decontaminate import (
-        decontaminate_fuzzy,
+_RPT_SLOGAN = " standard boilerplate footer text all rights reserved worldwide"
+_RPT_N = 6
+
+
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated n-gram spans (operators/repeated.py — the
+    n-gram-granularity approximation of suffix-array substring dedup, Lee
+    et al. 2022): every 10th document gets an appended 8-token boilerplate
+    slogan, so those docs share a run of consecutive repeated 6-gram
+    positions; each doc reports its repeated fraction and longest run.
+    md5-portable hashing lets DuckDB replay positions, the repeated-hash
+    set, and the run-length grouping exactly."""
+    from ndap_data_validator_spark.operators.repeated import (
+        repeated_ngram_report,
     )
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
-    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(11)) == 0).select(
-        "doc_id", F.concat(F.col("text"), F.lit(" eval suite suffix")).alias("text")
-    )
-    rep = decontaminate_fuzzy(
-        docs, bench, threshold=0.5, num_hashes=16, bands=8, shingle_n=3,
-        seed=42, hash_fn="md5",
-    )
-    return rep.select(
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    planted = docs.select(
         "doc_id",
-        "n_bench_matches",
-        F.round("max_jaccard", 4).alias("max_jaccard"),
-        "contaminated",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) == 0,
+            F.concat(F.col("text"), F.lit(_RPT_SLOGAN)),
+        ).otherwise(F.col("text")).alias("text"),
     )
+    return repeated_ngram_report(
+        planted, n=_RPT_N, min_docs=2, seed=42, hash_fn="md5"
+    )
+
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline on documents + a planted clone —
@@ -1264,7 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtype_coercion_report": q_dtype_coercion_report,
         "three_way_join": q_three_way_join,
         "except_diff": q_except_diff,
-        "decontamination_fuzzy": q_decontamination_fuzzy,
+        "repeated_ngrams": q_repeated_ngrams,
         "csv_events_rollup": q_csv_events_rollup,
         "dedup_clusters": q_dedup_clusters,
         "pii_scrub": q_pii_scrub,
@@ -1855,7 +1890,21 @@ def _pack_manifest_oracle_sql(
     """
 
 
-def _decontamination_oracle_sql(n: int = 8, seed: int = 42) -> str:
+def _decontamination_oracle_sql() -> str:
+    """Method-tagged union of both decontamination flavors with aligned
+    columns — mirrors q_decontamination's consolidation (r05)."""
+    return f"""
+      SELECT 'exact' AS method, doc_id, n_hits AS n_matches,
+             hit_ratio AS score, contaminated
+      FROM ({_decontamination_exact_oracle_sql()})
+      UNION ALL
+      SELECT 'fuzzy' AS method, doc_id, n_bench_matches AS n_matches,
+             max_jaccard AS score, contaminated
+      FROM ({_decontamination_fuzzy_oracle_sql()})
+    """
+
+
+def _decontamination_exact_oracle_sql(n: int = 8, seed: int = 42) -> str:
     """DuckDB replay of the md5-portable decontamination pipeline: same
     tokenization/shingling as the minhash oracle, benchmark = doc_id % 7."""
     from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
@@ -1885,6 +1934,58 @@ def _decontamination_oracle_sql(n: int = 8, seed: int = 42) -> str:
              ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS hit_ratio,
              (SUM(hit)::DOUBLE / COUNT(*)) > 0.0 AS contaminated
       FROM m GROUP BY doc_id
+    """
+
+
+def _repeated_ngrams_oracle_sql(seed: int = 42, min_docs: int = 2) -> str:
+    """DuckDB replay of repeated_ngram_report (operators/repeated.py) in
+    its md5 configuration: positional n-grams (short-doc whole-text rule),
+    repeated-hash set by distinct-doc count, pos − cumulative-count run
+    grouping — identical state to the Spark plan, including the planted
+    every-10th-doc slogan."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    k = _RPT_N - 1
+    ng = (
+        f"CASE WHEN len(w) - {k} <= 0 THEN array_to_string(w, ' ') "
+        f"ELSE array_to_string(w[pos:pos+{k}], ' ') END"
+    )
+    return rf"""
+      WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN text || '{_RPT_SLOGAN}'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id < 400),
+      w AS (SELECT doc_id,
+              regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+            FROM docs),
+      px AS (SELECT doc_id, w,
+               unnest(CASE WHEN len(w) - {k} <= 0 THEN [1]
+                           ELSE generate_series(1, len(w) - {k}) END) AS pos
+             FROM w),
+      hx AS (SELECT doc_id, pos, {P(ng, seed)} AS hh FROM px),
+      rep AS (SELECT hh FROM (
+                SELECT hh, COUNT(DISTINCT doc_id) AS nd FROM hx GROUP BY hh)
+              WHERE nd >= {min_docs}),
+      m AS (SELECT hx.doc_id, hx.pos,
+                   CASE WHEN rep.hh IS NOT NULL THEN 1 ELSE 0 END AS r
+            FROM hx LEFT JOIN rep USING (hh)),
+      c AS (SELECT doc_id, pos, r,
+                   SUM(r) OVER (PARTITION BY doc_id ORDER BY pos) AS cum
+            FROM m),
+      g AS (SELECT doc_id,
+                   CASE WHEN r = 1 THEN pos - cum ELSE NULL END AS grp,
+                   COUNT(*) AS cnt
+            FROM c GROUP BY doc_id, grp)
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_positions,
+             CAST(SUM(CASE WHEN grp IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_repeated,
+             ROUND(SUM(CASE WHEN grp IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE
+                   / SUM(cnt), 4) AS repeated_frac,
+             CAST(COALESCE(MAX(CASE WHEN grp IS NOT NULL THEN cnt END), 0)
+               AS BIGINT) AS max_repeated_run
+      FROM g GROUP BY doc_id
     """
 
 
@@ -2482,7 +2583,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_manifest": _pack_manifest_oracle_sql(),
         "pack_nosplit": _pack_nosplit_oracle_sql(),
         "decontamination": _decontamination_oracle_sql(),
-        "decontamination_fuzzy": _decontamination_fuzzy_oracle_sql(),
+        "repeated_ngrams": _repeated_ngrams_oracle_sql(),
         "tfidf_top_terms": r"""
           WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
           toks AS (SELECT doc_id,

@@ -1,0 +1,137 @@
+"""Cross-document repeated n-gram detection: for every position in every
+document, is the word n-gram starting there shared with at least
+``min_docs - 1`` OTHER documents? The per-document rollup (repeated
+fraction + longest consecutive repeated run) is the n-gram-granularity
+approximation of suffix-array substring deduplication ("Deduplicating
+Training Data Makes Language Models Better", Lee et al. 2022): a long
+verbatim boilerplate or template span shows up as a run of consecutive
+repeated positions, and ``max_repeated_run + n - 1`` bounds its token
+length from below.
+
+This is intra-corpus (every document vs the rest) — the companion to
+``operators/decontaminate.py`` (corpus vs a broadcast benchmark) and to
+``functions/textstats.repetition_ratio`` (WITHIN-document repetition).
+No counterpart in the reference (its scope is tabular validation,
+utils/validation.py); north-star training-data op.
+
+Plan shape, sized for 100 TB:
+
+  * positional n-grams are ONE scan-level projection + explode; downstream
+    frames carry (id, pos, 8-byte hash), never text;
+  * the repeated-hash set is ``distinct(id, hash) → groupBy(hash)`` —
+    map-side partial aggregation, shuffle keyed on the 8-byte hash; only
+    hashes reaching ``min_docs`` survive (typically a small fraction of
+    the vocabulary), and AQE broadcasts that side of the marking join
+    when it is small enough;
+  * the rollup is one window shuffle on the id; the run-length grouping
+    ``groupBy(id, run_id)`` and the final ``groupBy(id)`` reuse that same
+    hash partitioning (subset-of-keys rule), so no further exchange.
+
+``hash_fn='md5'`` (portable_hash64) makes the whole pipeline replayable by
+the DuckDB oracle; production uses xxhash64. A 64-bit collision can only
+FLAG an extra position (never unflag), same contract as decontaminate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.operators.dedup import _hash64
+
+
+def positional_ngrams(col: Column, n: int = 8) -> Column:
+    """Array of (pos, ng) structs — the word n-gram starting at each
+    1-based token position of the casefolded text. A document shorter than
+    ``n`` tokens contributes its whole text as one 'n-gram' at pos 1 (the
+    shingles() short-text rule, so the two operators agree on tiny docs)."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    k = F.size(toks) - (n - 1)
+    whole = F.array(
+        F.struct(F.lit(1).alias("pos"), F.concat_ws(" ", toks).alias("ng"))
+    )
+    return F.when(k <= 0, whole).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i, n)).alias("ng"),
+            ),
+        )
+    )
+
+
+def repeated_ngram_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document repeated-span report: (id, n_positions, n_repeated,
+    repeated_frac, max_repeated_run).
+
+    A position is REPEATED when its n-gram hash occurs in at least
+    ``min_docs`` distinct documents (the doc itself included — so the
+    default 2 means "shared with any other doc"). ``max_repeated_run`` is
+    the longest streak of consecutive repeated positions (0 when none);
+    the matching verbatim span is at least ``max_repeated_run + n - 1``
+    tokens long. Documents whose text yields no tokens (NULL text) drop
+    out, as in every n-gram operator here."""
+    hashed = docs.select(
+        F.col(id_col),
+        F.explode(positional_ngrams(F.col(text_col), n)).alias("__png"),
+    ).select(
+        id_col,
+        F.col("__png.pos").alias("__pos"),
+        _hash64(F.col("__png.ng"), seed, hash_fn).alias("__h"),
+    )
+    repeated = (
+        hashed.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(1).alias("__r"))
+    )
+    marked = hashed.join(repeated, "__h", "left").select(
+        id_col, "__pos", F.coalesce(F.col("__r"), F.lit(0)).alias("__r")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    # run id: pos − cumulative-repeated-count is constant across a streak
+    # of consecutive repeated positions; non-repeated rows get NULL (they
+    # only contribute to n_positions)
+    grouped = marked.select(
+        id_col,
+        "__r",
+        F.when(
+            F.col("__r") == 1, F.col("__pos") - F.sum("__r").over(w)
+        ).alias("__grp"),
+    ).groupBy(id_col, "__grp").agg(F.count(F.lit(1)).alias("__cnt"))
+    rep_cnt = F.when(F.col("__grp").isNotNull(), F.col("__cnt")).otherwise(
+        F.lit(0)
+    )
+    return (
+        grouped.groupBy(id_col)
+        .agg(
+            F.sum("__cnt").alias("n_positions"),
+            F.sum(rep_cnt).alias("n_repeated"),
+            F.coalesce(
+                F.max(F.when(F.col("__grp").isNotNull(), F.col("__cnt"))),
+                F.lit(0),
+            ).alias("max_repeated_run"),
+        )
+        .select(
+            id_col,
+            "n_positions",
+            "n_repeated",
+            F.round(
+                F.col("n_repeated").cast("double") / F.col("n_positions"),
+                round_digits,
+            ).alias("repeated_frac"),
+            "max_repeated_run",
+        )
+    )

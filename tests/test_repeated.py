@@ -1,0 +1,106 @@
+"""Cross-document repeated n-gram detection (operators/repeated.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndap_data_validator_spark.operators.repeated import (
+    positional_ngrams,
+    repeated_ngram_report,
+)
+
+
+def _report(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_ngram_report(df, n=kw.pop("n", 3), **kw)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_positional_ngrams_positions_and_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["png"]
+        for r in df.select(
+            "doc_id", positional_ngrams(F.col("text"), 3).alias("png")
+        ).collect()
+    }
+    assert [(p["pos"], p["ng"]) for p in got[1]] == [
+        (1, "a b c"),
+        (2, "b c d"),
+    ]
+    # shorter than n: whole text as one 'n-gram' at pos 1 (shingles rule)
+    assert [(p["pos"], p["ng"]) for p in got[2]] == [(1, "a b")]
+
+
+def test_repeated_report_runs_and_fractions(spark):
+    # docs 1/2 share the 5-token boilerplate span "v w x y z": with n=3
+    # that is 3 consecutive repeated positions; the rest of each doc is
+    # unique filler.
+    rows = [
+        (1, "q1 q2 v w x y z q3 q4"),
+        (2, "r1 v w x y z r2 r3 r4"),
+        (3, "s1 s2 s3 s4 s5 s6 s7"),
+    ]
+    got = _report(spark, rows)
+    # doc 1: 7 positions (9 tokens, n=3); repeated = ngrams inside the span
+    assert got[1]["n_positions"] == 7
+    assert got[1]["n_repeated"] == 3
+    assert got[1]["max_repeated_run"] == 3
+    assert got[1]["repeated_frac"] == round(3 / 7, 4)
+    # shared span at a different offset in doc 2 still matches
+    assert got[2]["n_repeated"] == 3
+    assert got[2]["max_repeated_run"] == 3
+    # doc 3 shares nothing
+    assert got[3]["n_repeated"] == 0
+    assert got[3]["max_repeated_run"] == 0
+    assert got[3]["repeated_frac"] == 0.0
+
+
+def test_repeated_two_separate_runs(spark):
+    # doc 1 shares two DISJOINT spans with docs 2 and 3 → two runs, max is
+    # the longer one, n_repeated counts both.
+    rows = [
+        (1, "a b c u1 u2 u3 d e f g u4"),
+        (2, "z1 a b c z2 z3 z4 z5 z6 z7 z8"),
+        (3, "d e f g y1 y2 y3 y4 y5 y6 y7"),
+    ]
+    got = _report(spark, rows)
+    assert got[1]["n_repeated"] == 3  # "a b c" (1 pos) + "d e f","e f g"
+    assert got[1]["max_repeated_run"] == 2
+    assert got[2]["n_repeated"] == 1
+    assert got[3]["n_repeated"] == 2
+
+
+def test_min_docs_threshold(spark):
+    rows = [
+        (1, "p q r t1 t2"),
+        (2, "p q r t3 t4"),
+        (3, "p q r t5 t6"),
+        (4, "w1 w2 w3 w4 w5"),
+    ]
+    # min_docs=3: the "p q r" ngram occurs in 3 docs → still repeated
+    got = _report(spark, rows, min_docs=3)
+    assert got[1]["n_repeated"] == 1 and got[3]["n_repeated"] == 1
+    # min_docs=4: nothing reaches 4 docs
+    got4 = _report(spark, rows, min_docs=4)
+    assert all(v["n_repeated"] == 0 for v in got4.values())
+
+
+def test_identical_docs_fully_repeated_and_md5_parity(spark):
+    rows = [(1, "m n o p q"), (2, "m n o p q"), (3, "k1 k2 k3 k4 k5")]
+    got = _report(spark, rows, hash_fn="md5")
+    assert got[1]["repeated_frac"] == 1.0
+    assert got[1]["max_repeated_run"] == got[1]["n_positions"] == 3
+    # xxhash64 production path agrees on every count
+    gx = _report(spark, rows, hash_fn="xxhash64")
+    assert got == gx
+
+
+def test_null_text_drops_and_within_doc_repeat_not_flagged(spark):
+    rows = [(1, None), (2, "e f e f e f e f"), (3, "g1 g2 g3 g4")]
+    got = _report(spark, rows)
+    assert 1 not in got  # NULL text yields no positions
+    # doc 2 repeats WITHIN itself only: distinct-docs count is 1 → not
+    # cross-doc repeated (that signal is textstats.repetition_ratio)
+    assert got[2]["n_repeated"] == 0

@@ -472,5 +472,26 @@ n_bench2 = fz_bench.count()
 assert n_flagged >= n_bench2 > 0, (n_flagged, n_bench2)
 print("fuzzy decontamination:", n_flagged, "flagged of", fz.count(), "docs,", n_bench2, "bench items")
 
+from ndap_data_validator_spark.operators.repeated import repeated_ngram_report
+
+# plant a shared boilerplate tail on docs whose id ends in '7' — those
+# docs must show a repeated run covering the slogan's n-grams
+slogan = " standard boilerplate footer all rights reserved"
+rdocs = docs.select(
+    "doc_id",
+    F.when(
+        F.col("doc_id").endswith("7"), F.concat(F.col("text"), F.lit(slogan))
+    ).otherwise(F.col("text")).alias("text"),
+)
+rng = repeated_ngram_report(rdocs, n=4, min_docs=2)
+planted = rng.join(
+    rdocs.where(F.col("doc_id").endswith("7")).select("doc_id"), "doc_id"
+)
+n_planted = planted.count()
+n_with_run = planted.where(F.col("max_repeated_run") >= 3).count()
+assert n_planted > 0 and n_with_run == n_planted, (n_planted, n_with_run)
+frac = rng.agg(F.round(F.avg("repeated_frac"), 4)).first()[0]
+print("repeated ngrams:", n_planted, "planted docs all show runs >= 3; avg repeated_frac", frac)
+
 print("JOB OK")
 spark.stop()
