@@ -744,11 +744,13 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TF-IDF top-3 terms per document (postings groupBy →
     vocabulary-df join → broadcast N → per-doc window). Rank on the rounded
-    score + term tie-break = cross-engine-stable ordering."""
+    score + term tie-break = cross-engine-stable ordering. r05: the same
+    rows also carry the Lucene-form Okapi BM25 score (saturated tf,
+    length-normalized against avgdl) — zero extra corpus shuffles."""
     from ndap_data_validator_spark.operators.tfidf import tfidf_top_terms
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return tfidf_top_terms(d, k=3, min_df=2)
+    return tfidf_top_terms(d, k=3, min_df=2, bm25=True)
 
 
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,11 +1157,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-accounting rollup (operators/curate.py
     corpus_mixture_report) over documents < 500 — the mixture-planning data
-    card; DuckDB replays lang-ID, both token counts, quality, and shares."""
+    card; DuckDB replays lang-ID, both token counts, quality, and shares.
+    r05: alpha=0.3 adds the XLM-R-style temperature-weighted sampling
+    column (mixture_weight ∝ tokens^0.3 normalized across languages)."""
     from ndap_data_validator_spark.operators.curate import corpus_mixture_report
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    return corpus_mixture_report(d)
+    return corpus_mixture_report(d, alpha=0.3)
 
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1823,7 +1827,9 @@ def _corpus_mixture_oracle_sql() -> str:
                          ROUND(AVG(q), 4) AS avg_quality
                   FROM labeled GROUP BY lang)
       SELECT lang, n_docs, tokens_ws, tokens_bpe, avg_quality,
-             ROUND(tokens_ws::DOUBLE / SUM(tokens_ws) OVER (), 4) AS token_share
+             ROUND(tokens_ws::DOUBLE / SUM(tokens_ws) OVER (), 4) AS token_share,
+             ROUND(POWER(tokens_ws, 0.3) / SUM(POWER(tokens_ws, 0.3)) OVER (), 4)
+               AS mixture_weight
       FROM grouped
     """
 
@@ -2596,15 +2602,25 @@ def oracle_sql() -> dict[str, str]:
           d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
                 FROM p GROUP BY term HAVING COUNT(*) >= 2),
           n AS (SELECT COUNT(*) AS n_docs FROM docs),
+          tot AS (SELECT SUM(tf) AS tot_tf FROM p),
+          dlen AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY doc_id),
           s AS (SELECT p.doc_id, p.term, p.tf, d.df,
                   ROUND(p.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0), 6)
-                    AS tfidf
-                FROM p JOIN d USING (term) CROSS JOIN n),
+                    AS tfidf,
+                  ROUND(
+                    ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * ((p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * dlen.dl
+                                        / (tot.tot_tf / n.n_docs)))), 6)
+                    AS bm25
+                FROM p JOIN d USING (term) JOIN dlen USING (doc_id)
+                     CROSS JOIN n CROSS JOIN tot),
           r AS (SELECT *, CAST(ROW_NUMBER() OVER (
                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT)
                   AS "rank"
                 FROM s)
-          SELECT doc_id, term, tf, df, tfidf, "rank" FROM r WHERE "rank" <= 3
+          SELECT doc_id, term, tf, df, tfidf, bm25, "rank"
+          FROM r WHERE "rank" <= 3
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),

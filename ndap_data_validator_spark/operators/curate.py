@@ -45,6 +45,7 @@ def corpus_mixture_report(
     docs: DataFrame,
     text_col: str = "text",
     round_digits: int = 4,
+    alpha: float | None = None,
 ) -> DataFrame:
     """Token-accounting rollup for mixture planning — the per-language data
     card: (lang, n_docs, tokens_ws, tokens_bpe, avg_quality, token_share).
@@ -53,7 +54,13 @@ def corpus_mixture_report(
     projection, the rollup is one groupBy(lang) (partial agg map-side, the
     shuffle carries one row per language per map partition), and
     ``token_share`` is a window over the language-sized result (a handful of
-    rows — no second pass over the corpus)."""
+    rows — no second pass over the corpus).
+
+    ``alpha`` adds the TEMPERATURE-WEIGHTED sampling column
+    ``mixture_weight`` ∝ ``tokens_ws ** alpha`` normalized across
+    languages — the multilingual up/down-sampling rule (alpha=1 keeps
+    natural proportions, alpha→0 approaches uniform; XLM-R uses 0.3).
+    Computed on the language-sized frame, so it costs nothing at scale."""
     from pyspark.sql import Window
 
     t = F.col(text_col)
@@ -70,7 +77,7 @@ def corpus_mixture_report(
         F.round(F.avg("__q"), round_digits).alias("avg_quality"),
     )
     w = Window.partitionBy()
-    return grouped.select(
+    out = grouped.select(
         "lang",
         "n_docs",
         "tokens_ws",
@@ -80,6 +87,13 @@ def corpus_mixture_report(
             F.col("tokens_ws") / F.sum("tokens_ws").over(w), round_digits
         ).alias("token_share"),
     )
+    if alpha is not None:
+        # p_l ∝ tokens_l^alpha ≡ share_l^alpha (the corpus total cancels)
+        pw = F.pow(F.col("tokens_ws"), F.lit(alpha))
+        out = out.withColumn(
+            "mixture_weight", F.round(pw / F.sum(pw).over(w), round_digits)
+        )
+    return out
 
 
 def _score_threshold(df, score_col: str, keep_fraction: float) -> float:

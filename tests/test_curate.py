@@ -117,6 +117,32 @@ def test_funnel_with_trained_quality_classifier(spark):
     assert "quality" in curated.columns  # heuristic still reported
 
 
+def test_corpus_mixture_temperature_weights(spark):
+    from ndap_data_validator_spark.operators.curate import corpus_mixture_report
+
+    # ~9:1 en:und token split
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox and the lazy dog again") for i in range(9)]
+        + [(9, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["lang"]: r.asDict()
+        for r in corpus_mixture_report(docs, alpha=0.3).collect()
+    }
+    shares = {k: v["token_share"] for k, v in out.items()}
+    weights = {k: v["mixture_weight"] for k, v in out.items()}
+    assert shares["en"] == 0.9 and shares["und"] == 0.1
+    # temperature flattens: minority lang is upsampled, majority down
+    assert weights["und"] > shares["und"]
+    assert weights["en"] < shares["en"]
+    assert abs(sum(weights.values()) - 1.0) < 1e-6
+    expected_und = (9 ** 0.3) / (9 ** 0.3 + 81 ** 0.3)
+    assert weights["und"] == round(expected_und, 4)
+    # alpha omitted: column absent (back-compat)
+    assert "mixture_weight" not in corpus_mixture_report(docs).columns
+
+
 def test_funnel_calibrated_keep_fraction(spark):
     """VERDICT r04 #7: quality_keep_fraction calibrates the gate threshold
     to the score distribution (exact distributed percentile) so the

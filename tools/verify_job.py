@@ -278,10 +278,13 @@ counts = {r["role"]: r["n"] for r in strat.groupBy("role").agg(F.count(F.lit(1))
 assert set(counts) <= {"user", "assistant"} and counts.get("user", 0) > counts.get("assistant", 0)
 print("stratified sample counts:", counts)
 
-tt = tfidf_top_terms(docs, k=2, min_df=2)
+tt = tfidf_top_terms(docs, k=2, min_df=2, bm25=True)
 mx = tt.groupBy("doc_id").count().agg(F.max("count")).first()[0]
 assert mx is not None and mx <= 2, mx
-print("tfidf top-term rows:", tt.count())
+bstats = tt.agg(F.min("bm25"), F.max("bm25")).first()
+assert bstats[0] is not None and bstats[0] >= 0, bstats
+print("tfidf top-term rows:", tt.count(), "bm25 range",
+      round(bstats[0], 3), "-", round(bstats[1], 3))
 
 urls_df = docs.select(
     "doc_id",
@@ -329,10 +332,15 @@ med = ces.agg(F.expr("percentile(cross_entropy, 0.5)")).first()[0]
 assert g_ce > med, (g_ce, med)  # all-unknown text scores worse than median
 print("unigram-LM cross-entropy: median", round(med, 3), "gibberish", round(g_ce, 3))
 
-mix = corpus_mixture_report(docs)
+mix = corpus_mixture_report(docs, alpha=0.3)
 mrows = mix.collect()
 assert abs(sum(r["token_share"] for r in mrows) - 1.0) < 0.01
+assert abs(sum(r["mixture_weight"] for r in mrows) - 1.0) < 0.01
 assert sum(r["n_docs"] for r in mrows) == docs.count()
+if len(mrows) > 1:
+    # temperature flattens toward uniform: the minority share is upsampled
+    lo = min(mrows, key=lambda r: r["token_share"])
+    assert lo["mixture_weight"] >= lo["token_share"], lo
 print("corpus mixture:", [(r["lang"], r["n_docs"]) for r in mrows])
 
 from ndap_data_validator_spark.operators.similarity import semantic_dedup
