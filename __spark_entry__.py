@@ -669,11 +669,22 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both deterministic sampling shapes in one entry (consolidated r04,
-    cap): the uniform hash-gate sample (pure function of the key — stable
-    under any partitioning/engine, predicate pushdown applies, no shuffle)
-    and the stratified training-mix variant (per-stratum integer-threshold
-    keep-rates: 10% F / 2% O / all P orders), union-tagged by method."""
+    """ALL THREE deterministic sampling shapes in one method-tagged entry
+    (consolidated r04/r05, cap), columns aligned as
+    (method, row_key, value, keep):
+
+    * 'uniform' — hash-gate sample (pure function of the key — stable
+      under any partitioning/engine, predicate pushdown applies, no
+      shuffle); value = o_totalprice, rows are the kept sample;
+    * 'stratified' — the training-mix variant (per-stratum
+      integer-threshold keep-rates: 10% F / 2% O / all P orders);
+    * 'dsir' (NEW r05) — DSIR importance resampling (operators/dsir.py):
+      raw documents < 300 scored against the doc_id%5==0 target slice in
+      hashed unigram+bigram space, Gumbel-top-25% selection via the exact
+      distributed (1−0.25)-percentile threshold; value = priority
+      (log importance weight + hash-Gumbel), keep = selected. DuckDB
+      replays fit → score → Gumbel → quantile threshold end to end."""
+    from ndap_data_validator_spark.operators.dsir import dsir_select
     from ndap_data_validator_spark.operators.sample import (
         deterministic_sample,
         stratified_sample,
@@ -681,12 +692,31 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     uni = deterministic_sample(o, "o_orderkey", 0.1, seed=7).select(
-        F.lit("uniform").alias("method"), "o_orderkey", "o_totalprice"
+        F.lit("uniform").alias("method"),
+        F.col("o_orderkey").alias("row_key"),
+        F.col("o_totalprice").alias("value"),
+        F.lit(True).alias("keep"),
     )
     strat = stratified_sample(
         o, "o_orderstatus", _STRATA_RATES, "o_orderkey", seed=11
-    ).select(F.lit("stratified").alias("method"), "o_orderkey", "o_totalprice")
-    return uni.unionByName(strat)
+    ).select(
+        F.lit("stratified").alias("method"),
+        F.col("o_orderkey").alias("row_key"),
+        F.col("o_totalprice").alias("value"),
+        F.lit(True).alias("keep"),
+    )
+    d = _t(spark, sf_dir, "documents")
+    raw = d.where(F.col("doc_id") < 300).select("doc_id", "text")
+    tgt = d.where(
+        (F.pmod(F.col("doc_id"), F.lit(5)) == 0) & (F.col("doc_id") < 400)
+    ).select("text")
+    dsir = dsir_select(raw, tgt, keep_fraction=0.25, n_buckets=4096).select(
+        F.lit("dsir").alias("method"),
+        F.col("doc_id").alias("row_key"),
+        F.col("priority").alias("value"),
+        "keep",
+    )
+    return uni.unionByName(strat).unionByName(dsir)
 
 
 _STRATA_RATES = {"F": 0.1, "O": 0.02, "P": 1.0}
@@ -1690,6 +1720,76 @@ def _curation_funnel_oracle_sql(n: int = 8, seed: int = 42) -> str:
     """
 
 
+def _dsir_oracle_ctes(
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    seed: int = 13,
+    gumbel_seed: int = 97,
+    keep_fraction: float = 0.25,
+) -> str:
+    """DuckDB CTE chain replaying operators/dsir.py end to end: hashed
+    unigram+bigram features → target/raw bucket distributions → per-bucket
+    ln(a)−ln(b) log weights → per-doc sums → hash-Gumbel priorities →
+    exact quantile threshold. Exposes ``dsir_pri`` (doc_id, priority) and
+    ``dsir_thr`` (t) for the sampling entry's final union."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql
+    from ndap_data_validator_spark.operators.dsir import gumbel_key_sql
+
+    b = float(alpha * n_buckets)
+    bucket = f"({portable_hash64_sql('feat', seed)}) % {n_buckets}"
+    toks = (
+        "CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN []::VARCHAR[] "
+        r"ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), "
+        "x -> lower(x)) END"
+    )
+    feats = (
+        "list_concat(t, CASE WHEN len(t) <= 1 THEN []::VARCHAR[] "
+        "ELSE list_transform(generate_series(1, len(t) - 1), "
+        "i -> array_to_string(t[i:i+1], ' ')) END)"
+    )
+    q = 1.0 - keep_fraction
+    return f"""
+      dsir_tgt AS (SELECT text FROM documents
+                   WHERE doc_id % 5 = 0 AND doc_id < 400),
+      dsir_raw AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      dsir_tt AS (SELECT {toks} AS t FROM dsir_tgt),
+      dsir_tf AS (SELECT unnest({feats}) AS feat FROM dsir_tt),
+      dsir_tb AS (SELECT {bucket} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt_t
+                  FROM dsir_tf GROUP BY 1),
+      dsir_rt AS (SELECT doc_id, {toks} AS t FROM dsir_raw),
+      dsir_rf AS (SELECT doc_id, unnest({feats}) AS feat FROM dsir_rt),
+      dsir_rfb AS (SELECT doc_id, {bucket} AS bucket FROM dsir_rf),
+      dsir_rb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt_r
+                  FROM dsir_rfb GROUP BY bucket),
+      dsir_j AS (SELECT COALESCE(dsir_tb.bucket, dsir_rb.bucket) AS bucket,
+                        COALESCE(cnt_t, 0) AS cnt_t,
+                        COALESCE(cnt_r, 0) AS cnt_r
+                 FROM dsir_tb FULL OUTER JOIN dsir_rb
+                   ON dsir_tb.bucket = dsir_rb.bucket),
+      dsir_tot AS (SELECT SUM(cnt_t) AS t_tot, SUM(cnt_r) AS r_tot
+                   FROM dsir_j),
+      dsir_w AS (SELECT bucket,
+                   (ln(cnt_t + {alpha}) - ln(t_tot + {b}))
+                   - (ln(cnt_r + {alpha}) - ln(r_tot + {b})) AS w
+                 FROM dsir_j, dsir_tot),
+      dsir_un AS (SELECT (ln({alpha}) - ln(t_tot + {b}))
+                         - (ln({alpha}) - ln(r_tot + {b})) AS w_unseen
+                  FROM dsir_tot),
+      dsir_sc AS (SELECT doc_id, COALESCE(w, w_unseen) AS w
+                  FROM dsir_rfb LEFT JOIN dsir_w USING (bucket), dsir_un),
+      dsir_per AS (SELECT doc_id, ROUND(SUM(w), 6) AS log_w
+                   FROM dsir_sc GROUP BY doc_id),
+      dsir_base AS (SELECT d.doc_id, COALESCE(dsir_per.log_w, 0.0) AS log_w
+                    FROM (SELECT DISTINCT doc_id FROM dsir_raw) d
+                    LEFT JOIN dsir_per USING (doc_id)),
+      dsir_pri AS (SELECT doc_id,
+                     ROUND(log_w + {gumbel_key_sql('doc_id', gumbel_seed)}, 6)
+                       AS priority
+                   FROM dsir_base),
+      dsir_thr AS (SELECT quantile_cont(priority, {q}) AS t FROM dsir_pri)
+    """
+
+
 def _lm_cross_entropy_oracle_sql(alpha: float = 0.5) -> str:
     """DuckDB replay of unigram_lm + doc_cross_entropy: same tokenization,
     same add-alpha smoothing, and the SAME ln(a)-ln(b) formulation (not
@@ -2386,12 +2486,17 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sampling = f"""
-      SELECT 'uniform' AS method, o_orderkey, o_totalprice
+      WITH {_dsir_oracle_ctes()}
+      SELECT 'uniform' AS method, o_orderkey AS row_key,
+             o_totalprice AS value, TRUE AS keep
       FROM orders WHERE {sample_gate_sql('o_orderkey', 0.1, seed=7)}
       UNION ALL
-      SELECT 'stratified', o_orderkey, o_totalprice
+      SELECT 'stratified', o_orderkey, o_totalprice, TRUE
       FROM orders
       WHERE {stratified_sample_sql('o_orderstatus', _STRATA_RATES, 'o_orderkey', seed=11)}
+      UNION ALL
+      SELECT 'dsir', doc_id, priority, priority >= thr.t
+      FROM dsir_pri, dsir_thr AS thr
     """
 
     fingerprint_sql = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"

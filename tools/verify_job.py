@@ -501,5 +501,24 @@ assert n_planted > 0 and n_with_run == n_planted, (n_planted, n_with_run)
 frac = rng.agg(F.round(F.avg("repeated_frac"), 4)).first()[0]
 print("repeated ngrams:", n_planted, "planted docs all show runs >= 3; avg repeated_frac", frac)
 
+from ndap_data_validator_spark.operators.dsir import dsir_select
+
+# DSIR: target = the clean (pos) class; raw = clean + vowel-mangled clones.
+# Importance weights must separate the classes and the Gumbel-top-k keep
+# fraction must land near the requested 0.5.
+dsir_raw = pos.select("doc_id", "text").unionByName(neg.select("doc_id", "text"))
+ds = dsir_select(dsir_raw, pos.select("text"), keep_fraction=0.5, n_buckets=512)
+mw = ds.groupBy(F.col("doc_id").startswith("neg-").alias("is_neg")).agg(
+    F.avg("log_w").alias("m")
+)
+means = {r["is_neg"]: r["m"] for r in mw.collect()}
+assert means[False] > means[True], means
+n_all, n_kept = ds.count(), ds.where(F.col("keep")).count()
+assert abs(n_kept / n_all - 0.5) < 0.05, (n_kept, n_all)
+kept_neg = ds.where(F.col("keep") & F.col("doc_id").startswith("neg-")).count()
+assert kept_neg < n_kept * 0.1, (kept_neg, n_kept)  # kept set is ~all target-like
+print(f"dsir: kept {n_kept}/{n_all}, {kept_neg} mangled survivors; "
+      f"mean log_w pos {means[False]:.2f} vs neg {means[True]:.2f}")
+
 print("JOB OK")
 spark.stop()
