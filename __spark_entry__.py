@@ -1150,14 +1150,22 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality signal (functions/lm.py): train the
     smoothed LM on documents < 400, score documents < 300 by mean negative
     log-likelihood (rounded 6dp — sum order is engine-noise). DuckDB replays
-    train + score end to end."""
-    from ndap_data_validator_spark.functions.lm import doc_cross_entropy, unigram_lm
+    train + score end to end. r05: rows also carry CCNet's head/middle/tail
+    ``ppl_bucket`` (corpus-percentile thirds of the cross-entropy via the
+    exact distributed order-statistic plan; DuckDB replays the cuts with
+    quantile_cont)."""
+    from ndap_data_validator_spark.functions.lm import (
+        doc_cross_entropy,
+        perplexity_buckets,
+        unigram_lm,
+    )
 
     d = _t(spark, sf_dir, "documents")
     ref = d.where(F.col("doc_id") < 400).select("doc_id", "text")
     docs = d.where(F.col("doc_id") < 300).select("doc_id", "text")
     lm, consts = unigram_lm(ref, alpha=0.5)
-    return doc_cross_entropy(docs, lm, consts, round_digits=6)
+    ce = doc_cross_entropy(docs, lm, consts, round_digits=6)
+    return perplexity_buckets(ce)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1817,10 +1825,20 @@ def _lm_cross_entropy_oracle_sql(alpha: float = 0.5) -> str:
                  FROM dt LEFT JOIN lm USING (token), unk),
       per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                      ROUND(-AVG(lp), 6) AS cross_entropy
-              FROM scored GROUP BY doc_id)
-      SELECT d.doc_id, CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
-             per.cross_entropy
-      FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN per USING (doc_id)
+              FROM scored GROUP BY doc_id),
+      ce AS (SELECT d.doc_id,
+                    CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                    per.cross_entropy
+             FROM (SELECT DISTINCT doc_id FROM docs) d
+             LEFT JOIN per USING (doc_id)),
+      cuts AS (SELECT quantile_cont(cross_entropy, 0.33) AS t1,
+                      quantile_cont(cross_entropy, 0.67) AS t2 FROM ce)
+      SELECT doc_id, n_tokens, cross_entropy,
+             CASE WHEN cross_entropy IS NULL THEN NULL
+                  WHEN cross_entropy <= t1 THEN 'head'
+                  WHEN cross_entropy <= t2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM ce, cuts
     """
 
 

@@ -140,6 +140,41 @@ def doc_cross_entropy(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    ce_col: str = "cross_entropy",
+    cuts: tuple[float, float] = (0.33, 0.67),
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by where their LM
+    cross-entropy falls in the CORPUS distribution — 'head' is the most
+    fluent third, 'tail' the least; CCNet trains on head+middle and drops
+    or down-weights tail.
+
+    The cut points are exact distributed percentiles of ``ce_col``
+    (``stats.exact_percentiles_distributed`` — one order-statistic pass,
+    no all-values buffer), then the labeling is a broadcast-scalar CASE —
+    the corpus is never re-shuffled. NULL cross-entropy (empty docs)
+    stays NULL."""
+    from ndap_data_validator_spark.operators.stats import (
+        exact_percentiles_distributed,
+    )
+
+    row = exact_percentiles_distributed(scored, ce_col, ps=cuts).first()
+    t1, t2 = row[1], row[2]
+    if t1 is None:  # no non-null scores: label column is all-NULL
+        return scored.withColumn(out_col, F.lit(None).cast("string"))
+    ce = F.col(ce_col)
+    return scored.withColumn(
+        out_col,
+        F.when(ce.isNull(), F.lit(None).cast("string"))
+        .when(ce <= F.lit(float(t1)), F.lit(labels[0]))
+        .when(ce <= F.lit(float(t2)), F.lit(labels[1]))
+        .otherwise(F.lit(labels[2])),
+    )
+
+
 def perplexity(ce_col) -> "F.Column":
     """exp(cross_entropy) — convenience for thresholding in ppl space."""
     return F.exp(ce_col)

@@ -69,3 +69,27 @@ def test_lm_case_folding_and_rounding(spark):
     assert row["cross_entropy"] == pytest.approx(
         round(-math.log(3.5 / denom), 6)
     )
+
+
+def test_perplexity_buckets_split_by_corpus_thirds(spark):
+    from ndap_data_validator_spark.functions.lm import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(i, 10, float(i)) for i in range(9)] + [(9, 0, None)],
+        "doc_id long, n_tokens int, cross_entropy double",
+    )
+    out = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(scored).collect()}
+    # cuts at p33/p67 of 0..8: head <= 2.64, middle <= 5.36, tail above
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert out[9] is None  # NULL ce stays NULL
+
+
+def test_perplexity_buckets_all_null(spark):
+    from ndap_data_validator_spark.functions.lm import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(1, 0, None)], "doc_id long, n_tokens int, cross_entropy double"
+    )
+    assert perplexity_buckets(scored).first()["ppl_bucket"] is None

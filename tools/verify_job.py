@@ -332,6 +332,18 @@ med = ces.agg(F.expr("percentile(cross_entropy, 0.5)")).first()[0]
 assert g_ce > med, (g_ce, med)  # all-unknown text scores worse than median
 print("unigram-LM cross-entropy: median", round(med, 3), "gibberish", round(g_ce, 3))
 
+from ndap_data_validator_spark.functions.lm import perplexity_buckets
+
+pb = perplexity_buckets(scored).groupBy("ppl_bucket").agg(
+    F.count(F.lit(1)).alias("n")
+)
+bn = {r["ppl_bucket"]: r["n"] for r in pb.collect()}
+n_scored = sum(v for k, v in bn.items() if k is not None)
+# CCNet thirds: each labeled bucket holds ~1/3 of scored docs
+for lbl in ("head", "middle", "tail"):
+    assert abs(bn.get(lbl, 0) / n_scored - 1 / 3) < 0.05, bn
+print("perplexity buckets:", {k: bn[k] for k in sorted(bn, key=str)})
+
 mix = corpus_mixture_report(docs, alpha=0.3)
 mrows = mix.collect()
 assert abs(sum(r["token_share"] for r in mrows) - 1.0) < 0.01
