@@ -86,6 +86,20 @@ def _lm_score(spark, df):
     return doc_cross_entropy(docs, lm, consts)
 
 
+def _dsir(spark, df):
+    from ndap_data_validator_spark.operators.dsir import (
+        fit_importance_weights,
+        score_importance,
+    )
+
+    docs = df.where(F.col("text").isNotNull()).select(
+        F.col("conv_id").alias("doc_id"), F.col("text")
+    )
+    target = docs.where(F.col("doc_id").endswith("0")).select("text")
+    weights, consts = fit_importance_weights(target, docs, n_buckets=4096)
+    return score_importance(docs, weights, consts, n_buckets=4096)
+
+
 def main() -> None:
     spark = get_spark(app_name="dump-plans", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -282,6 +296,17 @@ def main() -> None:
             "table — AQE picks broadcast when it fits — and the per-doc "
             "mean is one groupBy(doc). The smoothed UNK floor rides a "
             "1-row broadcast; no second pass, no Python.",
+        ),
+        (
+            "DSIR importance scoring (fit + score)",
+            _dsir(spark, df),
+            "Each distribution fit is explode → groupBy(bucket), "
+            "collapsing map-side to ≤ n_buckets rows per map partition. "
+            "The bucket→weight table (≤ n_buckets rows) and the 1-row "
+            "unseen-floor consts are explicit broadcasts, so the raw "
+            "corpus is never shuffled to be scored — its only exchange "
+            "is the per-doc partial-aggregated sum. Gumbel priority is a "
+            "scan-level expression on the result.",
         ),
     ]
 
