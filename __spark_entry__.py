@@ -735,10 +735,18 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       (the exact check's worst case, an easy fuzzy catch): cross-corpus
       MinHash-LSH band join against the broadcast benchmark index, exact
       Jaccard verify, per-doc rollup (score = max_jaccard, NULL when no
-      candidate survives). md5-portable end to end."""
+      candidate survives). md5-portable end to end;
+    * 'bloom' (NEW r05) — the MEMORY-BOUNDED variant: the same benchmark
+      n-gram set packed into a fixed 2^20-bit Bloom bitset (32-bit words,
+      k=3 re-hashes), probed with 3 broadcast joins — the Dolma-scale
+      index whose size is constant in the benchmark suite. A 'hit' is
+      maybe-in (over-flag only, never miss); DuckDB replays the exact
+      bit arithmetic."""
     from ndap_data_validator_spark.operators.decontaminate import (
         benchmark_ngram_hashes,
+        bloom_bitset,
         decontaminate,
+        decontaminate_bloom,
         decontaminate_fuzzy,
     )
 
@@ -747,6 +755,17 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bh = benchmark_ngram_hashes(bench, n=8, seed=42, hash_fn="md5")
     exact = decontaminate(docs, bh, n=8, seed=42, hash_fn="md5").select(
         F.lit("exact").alias("method"),
+        "doc_id",
+        F.col("n_hits").alias("n_matches"),
+        F.col("hit_ratio").alias("score"),
+        "contaminated",
+    )
+    bs = bloom_bitset(bh, m_bits=1 << 20, k=3, seed=101, hash_fn="md5")
+    bloom = decontaminate_bloom(
+        docs, bs, n=8, m_bits=1 << 20, k=3, seed=42, bloom_seed=101,
+        hash_fn="md5",
+    ).select(
+        F.lit("bloom").alias("method"),
         "doc_id",
         F.col("n_hits").alias("n_matches"),
         F.col("hit_ratio").alias("score"),
@@ -768,7 +787,7 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_jaccard", 4).alias("score"),
         "contaminated",
     )
-    return exact.unionByName(fuzzy)
+    return exact.unionByName(fuzzy).unionByName(bloom)
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2025,6 +2044,10 @@ def _decontamination_oracle_sql() -> str:
       SELECT 'fuzzy' AS method, doc_id, n_bench_matches AS n_matches,
              max_jaccard AS score, contaminated
       FROM ({_decontamination_fuzzy_oracle_sql()})
+      UNION ALL
+      SELECT 'bloom' AS method, doc_id, n_hits AS n_matches,
+             hit_ratio AS score, contaminated
+      FROM ({_decontamination_bloom_oracle_sql()})
     """
 
 
@@ -2058,6 +2081,62 @@ def _decontamination_exact_oracle_sql(n: int = 8, seed: int = 42) -> str:
              ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS hit_ratio,
              (SUM(hit)::DOUBLE / COUNT(*)) > 0.0 AS contaminated
       FROM m GROUP BY doc_id
+    """
+
+
+def _decontamination_bloom_oracle_sql(
+    n: int = 8,
+    seed: int = 42,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    bloom_seed: int = 101,
+) -> str:
+    """DuckDB replay of the Bloom-bitset decontamination
+    (operators/decontaminate.py bloom_bitset + decontaminate_bloom):
+    same shingling as the exact check, then each benchmark n-gram hash
+    sets k positions (md5 re-hash with a 'j#' prefix) in a 2^20-bit /
+    32-bit-word bitset built with bit_or, and each corpus n-gram is
+    maybe-in iff all k probed bits are set — the identical integer
+    arithmetic both engines can compute."""
+    from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
+
+    kk = n - 1
+    probe = P(f"CAST(j AS VARCHAR) || '#' || CAST(ng_hash AS VARCHAR)", bloom_seed)
+    mask = "(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))"
+    return rf"""
+      WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      w AS (SELECT doc_id,
+              regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+            FROM docs),
+      s AS (SELECT doc_id,
+              CASE WHEN len(w) - {kk} <= 0 THEN [array_to_string(w, ' ')]
+                   ELSE list_distinct(list_transform(
+                          generate_series(1, len(w) - {kk}),
+                          i -> array_to_string(w[i:i+{kk}], ' ')))
+              END AS ngrams
+            FROM w),
+      ex AS (SELECT doc_id, ng, {P('ng', seed)} AS ng_hash
+             FROM (SELECT doc_id, unnest(ngrams) AS ng FROM s)),
+      bh AS (SELECT DISTINCT ng_hash FROM ex WHERE doc_id % 7 = 0),
+      js AS (SELECT unnest(generate_series(0, {k - 1})) AS j),
+      bpos AS (SELECT ({probe}) % {m_bits} AS pos FROM bh CROSS JOIN js),
+      bits AS (SELECT pos // 32 AS word, bit_or({mask}) AS bits
+               FROM bpos GROUP BY 1),
+      mp AS (SELECT doc_id, ng, ({probe}) % {m_bits} AS pos
+             FROM ex CROSS JOIN js),
+      mh AS (SELECT doc_id, ng,
+               CASE WHEN (COALESCE(bits.bits, 0) & {mask}) = {mask}
+                    THEN 1 ELSE 0 END AS hitj
+             FROM mp LEFT JOIN bits ON (mp.pos // 32) = bits.word),
+      gh AS (SELECT doc_id, ng,
+               CASE WHEN SUM(hitj) = {k} THEN 1 ELSE 0 END AS hit
+             FROM mh GROUP BY doc_id, ng)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(hit) AS BIGINT) AS n_hits,
+             ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS hit_ratio,
+             (SUM(hit)::DOUBLE / COUNT(*)) > 0.0 AS contaminated
+      FROM gh GROUP BY doc_id
     """
 
 

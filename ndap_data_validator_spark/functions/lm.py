@@ -161,6 +161,10 @@ def perplexity_buckets(
         exact_percentiles_distributed,
     )
 
+    # the percentile pass and the returned frame both consume `scored` —
+    # materialize the doc-sized score frame once instead of re-running the
+    # token-explode scoring pipeline for each
+    scored = scored.localCheckpoint()
     row = exact_percentiles_distributed(scored, ce_col, ps=cuts).first()
     t1, t2 = row[1], row[2]
     if t1 is None:  # no non-null scores: label column is all-NULL

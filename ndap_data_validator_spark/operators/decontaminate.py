@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ndap_data_validator_spark.functions.porthash import portable_hash64
 from ndap_data_validator_spark.operators.dedup import _hash64, shingles
 
 
@@ -189,5 +190,141 @@ def decontaminate_fuzzy(
             ),
             "max_jaccard",
             F.col("n_bench_matches").isNotNull().alias("contaminated"),
+        )
+    )
+
+
+# ----------------------------------------------------------- Bloom variant
+
+def bloom_bitset(
+    benchmark_hashes: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: int = 101,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Pack the benchmark n-gram hash set into a Bloom-filter bitset →
+    (word, bits): ``m_bits`` bits as 32-bit words (bit b of word w = bit
+    position w·32+b), each n-gram setting ``k`` positions derived by
+    re-hashing its 64-bit hash with seeds ``seed..seed+k−1``.
+
+    This is the MEMORY-BOUNDED decontamination index (the Dolma-scale
+    shape): the exact hash set grows with the benchmark suite, the Bloom
+    bitset is a fixed ``m_bits/8`` bytes no matter how many n-grams go in
+    — at the cost of a false-POSITIVE rate ≈ (1−e^(−k·n/m))^k, i.e. it
+    can only over-flag, never miss (the safe direction for
+    decontamination). ≤ ``m_bits/32`` rows — always broadcastable.
+
+    32-bit words, not 64: ``1 << bit`` stays well inside a signed 64-bit
+    in every engine (no sign-bit edge case), so the DuckDB oracle replays
+    the exact same integer arithmetic."""
+    j_seq = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j")
+    ex = benchmark_hashes.select("ng_hash", j_seq)
+    # position_j = hash(j # ng_hash, seed) — the j prefix makes each of
+    # the k probes an independent hash function
+    if hash_fn == "md5":
+        pos = portable_hash64(
+            F.concat(F.col("__j").cast("string"), F.lit("#"), F.col("ng_hash").cast("string")),
+            seed=seed,
+        )
+    else:
+        pos = F.abs(F.xxhash64(F.col("ng_hash"), F.col("__j"), F.lit(seed)))
+    pos = F.pmod(pos, F.lit(m_bits))
+    return (
+        ex.select(
+            (pos / F.lit(32)).cast("long").alias("word"),
+            (pos % F.lit(32)).cast("int").alias("__bit"),
+        )
+        .select(
+            "word",
+            F.expr("shiftleft(CAST(1 AS BIGINT), __bit)").alias("__mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    bitset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: int = 42,
+    bloom_seed: int = 101,
+    hash_fn: str = "xxhash64",
+    max_hit_ratio: float = 0.0,
+) -> DataFrame:
+    """Per-document contamination report against a Bloom bitset —
+    same output contract as :func:`decontaminate`
+    (id, n_ngrams, n_hits, hit_ratio, contaminated), where a 'hit' is a
+    maybe-in answer (every true overlap hits; false positives possible at
+    the documented rate, never false negatives).
+
+    Plan: the corpus side is the SAME single projection + explode as the
+    exact path; each of the ``k`` probes is a broadcast hash join against
+    the ≤ m_bits/32-row bitset (no explode-by-k, no per-gram rollup), and
+    the only corpus-sized exchange is the final per-doc groupBy — byte-size
+    identical to the exact method's shuffle."""
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("__ng"),
+    ).select(
+        id_col, _hash64(F.col("__ng"), seed, hash_fn).alias("ng_hash")
+    )
+    hit = F.lit(True)
+    cur = ex
+    for j in range(k):
+        if hash_fn == "md5":
+            pos = portable_hash64(
+                F.concat(F.lit(f"{j}#"), F.col("ng_hash").cast("string")),
+                seed=bloom_seed,
+            )
+        else:
+            pos = F.abs(
+                F.xxhash64(F.col("ng_hash"), F.lit(j), F.lit(bloom_seed))
+            )
+        pos = F.pmod(pos, F.lit(m_bits))
+        w = (pos / F.lit(32)).cast("long")
+        b = bitset.select(
+            F.col("word").alias(f"__w{j}"), F.col("bits").alias(f"__b{j}")
+        )
+        cur = (
+            cur.withColumn(f"__word{j}", w)
+            .withColumn(f"__bit{j}", (pos % F.lit(32)).cast("int"))
+            .withColumn(
+                f"__mask{j}",
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), __bit{j})"),
+            )
+        )
+        cur = cur.join(
+            F.broadcast(b), cur[f"__word{j}"] == b[f"__w{j}"], "left"
+        )
+        hit = hit & (
+            F.coalesce(F.col(f"__b{j}"), F.lit(0)).bitwiseAND(
+                F.col(f"__mask{j}")
+            )
+            == F.col(f"__mask{j}")
+        )
+    marked = cur.select(id_col, hit.cast("int").alias("__hit"))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("__hit").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_ngrams"), 4
+            ).alias("hit_ratio"),
+            (
+                F.col("n_hits").cast("double") / F.col("n_ngrams")
+                > F.lit(max_hit_ratio)
+            ).alias("contaminated"),
         )
     )

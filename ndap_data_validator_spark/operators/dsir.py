@@ -257,5 +257,11 @@ def dsir_select(
         raw, weights, consts, text_col, id_col, n_buckets, seed, hash_fn,
         gumbel_seed, round_digits,
     )
+    # The threshold pass and the returned frame both consume `scored`;
+    # without a materialization the whole fit+score pipeline runs twice.
+    # localCheckpoint stores the doc-sized (id, log_w, priority) frame —
+    # far smaller than the token stream it derives from — which is exactly
+    # what a production two-pass (threshold, then filter) would persist.
+    scored = scored.localCheckpoint()
     t = _score_threshold(scored, "priority", keep_fraction)
     return scored.withColumn("keep", F.col("priority") >= F.lit(t))

@@ -263,3 +263,61 @@ def test_decontaminate_fuzzy_md5_matches_xxhash_semantics(spark):
     }
     assert a == b
     assert any(a.values())
+
+
+def test_decontaminate_bloom_matches_exact_flags(spark):
+    from ndap_data_validator_spark.operators.decontaminate import (
+        benchmark_ngram_hashes,
+        bloom_bitset,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "prefix words then the quick brown fox jumps over the "
+                "lazy dog tonight and more trailing text here"),
+            (3, "completely unrelated content about spark query planning "
+                "and shuffle partitioning strategies at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    for hash_fn in ("xxhash64", "md5"):
+        bh = benchmark_ngram_hashes(bench, n=8, seed=1, hash_fn=hash_fn)
+        bs = bloom_bitset(bh, m_bits=1 << 16, k=3, hash_fn=hash_fn)
+        exact = {r["doc_id"]: r for r in
+                 decontaminate(docs, bh, n=8, seed=1, hash_fn=hash_fn).collect()}
+        bloom = {r["doc_id"]: r for r in
+                 decontaminate_bloom(
+                     docs, bs, n=8, m_bits=1 << 16, k=3, seed=1,
+                     hash_fn=hash_fn,
+                 ).collect()}
+        for d in (1, 2, 3):
+            # bloom can only over-flag, and at this load FP ~ 0: equal here
+            assert bloom[d]["n_ngrams"] == exact[d]["n_ngrams"]
+            assert bloom[d]["n_hits"] == exact[d]["n_hits"], (hash_fn, d)
+            assert bloom[d]["contaminated"] == exact[d]["contaminated"]
+
+
+def test_bloom_bitset_is_fixed_size(spark):
+    from ndap_data_validator_spark.operators.decontaminate import (
+        benchmark_ngram_hashes,
+        bloom_bitset,
+    )
+    import pyspark.sql.functions as F
+
+    texts = [(i, f"benchmark item {i} with words w{i} x{i} y{i} z{i} "
+                 f"a{i} b{i} c{i} d{i}") for i in range(50)]
+    bench = spark.createDataFrame(texts, "doc_id long, text string")
+    bh = benchmark_ngram_hashes(bench, n=4, seed=5)
+    bs = bloom_bitset(bh, m_bits=1 << 12, k=3)
+    n_words = bs.count()
+    assert n_words <= (1 << 12) // 32  # never exceeds m/32 words
+    # every mask is a valid 32-bit word (no sign-bit edge case)
+    mx = bs.agg(F.max("bits"), F.min("bits")).first()
+    assert 0 <= mx[1] and mx[0] < (1 << 32)

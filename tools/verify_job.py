@@ -513,6 +513,25 @@ assert n_planted > 0 and n_with_run == n_planted, (n_planted, n_with_run)
 frac = rng.agg(F.round(F.avg("repeated_frac"), 4)).first()[0]
 print("repeated ngrams:", n_planted, "planted docs all show runs >= 3; avg repeated_frac", frac)
 
+from ndap_data_validator_spark.operators.decontaminate import (
+    benchmark_ngram_hashes as _bnh,
+    bloom_bitset,
+    decontaminate_bloom,
+)
+
+# Bloom decontamination must agree with the exact hash-set check on this
+# corpus (FP rate ~ 0 at this load) while its index stays fixed-size
+bl_bench = docs.where(F.col("doc_id").endswith("50"))
+bl_bh = _bnh(bl_bench, n=8, seed=3)
+bl_bs = bloom_bitset(bl_bh, m_bits=1 << 20, k=3)
+bl = decontaminate_bloom(docs, bl_bs, n=8, m_bits=1 << 20, k=3, seed=3)
+bl_flag = bl.where(F.col("contaminated")).count()
+n_bl_bench = bl_bench.count()
+assert bl_flag >= n_bl_bench > 0, (bl_flag, n_bl_bench)
+n_words = bl_bs.count()
+assert n_words <= (1 << 20) // 32
+print("bloom decontamination:", bl_flag, "flagged,", n_words, "bitset words")
+
 from ndap_data_validator_spark.operators.dsir import dsir_select
 
 # DSIR: target = the clean (pos) class; raw = clean + vowel-mangled clones.
