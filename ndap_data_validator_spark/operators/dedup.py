@@ -465,3 +465,161 @@ def ngram_jaccard_pairs(
         inter.select("id_a", "id_b", jac.cast("double").alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------- incremental (delta) dedup
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The PERSISTED near-dup index of a corpus snapshot:
+    (id, band_idx, band_hash, sig). One row per (doc, band); ``sig`` (the
+    full minhash signature) rides along so a future batch can estimate
+    Jaccard against historical docs WITHOUT their text — the index is what
+    survives between crawls, the raw text need not.
+
+    Size: ``bands`` rows × (id + 8-byte hash + num_hashes longs) per doc —
+    a fixed small multiple of the id space, partitioned and joined on
+    (band_idx, band_hash). Write it out with
+    ``.write.partitionBy()``-free parquet; it re-reads straight into
+    :func:`dedup_against_index`."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, seed, hash_fn=hash_fn
+    )
+    return banded_signatures(sigs, id_col, bands, hash_fn).join(sigs, id_col)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket_size: int | None = 512,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Match a NEW batch against a historical :func:`minhash_index` →
+    (new_id, hist_id, est_jaccard) for every band collision whose
+    signature-agreement estimate ≥ ``threshold`` — the incremental-crawl
+    dedup shape: each delta batch joins the persisted index instead of
+    re-mining the whole corpus.
+
+    * the join is hash-partitioned on (band_idx, band_hash) — both sides
+      shuffle ids+hashes only, never text;
+    * ``est_jaccard`` is the matching-minhash fraction (the unbiased
+      single-pass estimator; E[est] = true Jaccard, σ = √(J(1−J)/k)) —
+      computed from signatures alone, because the historical TEXT is not
+      required to exist anymore;
+    * hot band buckets on the HISTORICAL side (boilerplate bands that
+      accumulate forever) are capped at ``max_bucket_size`` rows kept by
+      smallest xxhash64(id) — the deterministic star-cap convention —
+      so one pathological bucket cannot quadratic-blow a delta run."""
+    from pyspark.sql import Window
+
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n, seed,
+        hash_fn=hash_fn,
+    )
+    new_banded = banded_signatures(new_sigs, id_col, bands, hash_fn).join(
+        new_sigs, id_col
+    )
+    hist = index.select(
+        F.col(id_col).alias("hist_id"),
+        "band_idx",
+        "band_hash",
+        F.col("sig").alias("__hsig"),
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_hash").orderBy(
+            F.xxhash64(F.col("hist_id").cast("string"))
+        )
+        hist = (
+            hist.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+    cand = (
+        new_banded.select(
+            F.col(id_col).alias("new_id"),
+            "band_idx",
+            "band_hash",
+            F.col("sig").alias("__nsig"),
+        )
+        .join(hist, ["band_idx", "band_hash"])
+        .select("new_id", "hist_id", "__nsig", "__hsig")
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("__nsig", "__hsig", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return cand.select(
+        "new_id", "hist_id", F.round(est, 4).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= threshold)
+
+
+def dedup_incremental_batch(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket_size: int | None = 512,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """One delta-load dedup step. Returns ``(report, new_index_rows)``:
+
+    * ``report`` — every new doc: (id, matched_hist_id [lowest matching
+      historical id, NULL if none], est_jaccard of that match, is_unique);
+    * ``new_index_rows`` — :func:`minhash_index` rows for the UNIQUE new
+      docs only, ready to append to the persisted index (duplicates of
+      history never enter the index, so it grows with the deduped corpus,
+      not the crawl volume).
+
+    Within-batch near-dups are the existing self-join pipeline
+    (:func:`minhash_near_duplicates` on ``new_docs``) — run it before or
+    after; this function's contract is new-vs-HISTORY."""
+    hits = dedup_against_index(
+        new_docs, index, text_col, id_col, num_hashes, bands, shingle_n,
+        threshold, seed, max_bucket_size, hash_fn,
+    )
+    best = hits.groupBy("new_id").agg(
+        F.min("hist_id").alias("matched_hist_id"),
+        F.max("est_jaccard").alias("est_jaccard"),
+    )
+    report = (
+        new_docs.select(F.col(id_col))
+        .join(best, new_docs[id_col] == best["new_id"], "left")
+        .select(
+            id_col,
+            "matched_hist_id",
+            "est_jaccard",
+            F.col("matched_hist_id").isNull().alias("is_unique"),
+        )
+    )
+    uniques = new_docs.join(
+        report.where("is_unique").select(id_col), id_col, "left_semi"
+    )
+    new_rows = minhash_index(
+        uniques, text_col, id_col, num_hashes, bands, shingle_n, seed,
+        hash_fn,
+    )
+    return report, new_rows

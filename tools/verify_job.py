@@ -532,6 +532,33 @@ n_words = bl_bs.count()
 assert n_words <= (1 << 20) // 32
 print("bloom decontamination:", bl_flag, "flagged,", n_words, "bitset words")
 
+from ndap_data_validator_spark.operators.dedup import (
+    dedup_incremental_batch,
+    minhash_index,
+)
+
+# incremental (delta-crawl) dedup: batch 2 contains clones of batch 1 —
+# they must match the persisted index and stay OUT of the appended rows
+inc_b1 = docs.where(F.col("doc_id").endswith("1"))
+inc_b2 = docs.where(F.col("doc_id").endswith("2")).unionByName(
+    inc_b1.limit(20).select(
+        F.concat(F.lit("re-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+)
+inc_idx = minhash_index(inc_b1, num_hashes=16, bands=8)
+inc_rep, inc_new = dedup_incremental_batch(
+    inc_b2, inc_idx, num_hashes=16, bands=8, threshold=0.9
+)
+n_clone = inc_rep.where(
+    F.col("doc_id").startswith("re-") & ~F.col("is_unique")
+).count()
+n_clones_total = inc_b2.where(F.col("doc_id").startswith("re-")).count()
+assert n_clone == n_clones_total > 0, (n_clone, n_clones_total)
+appended = {r[0] for r in inc_new.select("doc_id").distinct().collect()}
+assert not any(d.startswith("re-") for d in appended)
+print(f"incremental dedup: {n_clone}/{n_clones_total} cross-batch clones "
+      f"matched history; {len(appended)} unique docs appended to index")
+
 from ndap_data_validator_spark.operators.dsir import dsir_select
 
 # DSIR: target = the clean (pos) class; raw = clean + vowel-mangled clones.
