@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 from ndap_data_validator_spark.operators import drift as drift_mod
 from ndap_data_validator_spark.operators import multimodal
 from ndap_data_validator_spark.operators.dedup import (
+    dedup_incremental_batch,
     exact_duplicate_groups,
+    minhash_index,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash,
@@ -1035,9 +1037,17 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline on documents + a planted clone —
-    oracle-checked end to end: the md5 portable hash lets DuckDB replay
-    shingling → 16 minhashes → 8-band bucket join → exact-Jaccard verify."""
+    """MinHash+LSH near-dup, both deployment shapes in one method-tagged
+    union (both oracle-checked end to end via the md5 portable hash):
+
+    * ``self``  — one-shot self-join mining over documents + a planted
+      clone: shingling → 16 minhashes → 8-band bucket join →
+      exact-Jaccard verify (score = true Jaccard, is_unique NULL);
+    * ``incremental`` — the delta-crawl shape: docs <200 become the
+      persisted :func:`minhash_index` (signatures only — no text), the
+      200+ batch plus the clone joins it and reports every new doc with
+      its lowest matching historical id and the signature-agreement
+      estimate (score = matching-minhash fraction, is_unique flag)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     clone = d.where(F.col("doc_id") == 0).withColumn(
         "doc_id", F.lit(1_000_000).cast("long")
@@ -1046,7 +1056,28 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.unionByName(clone), num_hashes=16, bands=8, threshold=0.8,
         hash_fn="md5",
     )
-    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    self_part = out.select(
+        F.lit("self").alias("method"),
+        "id_a",
+        "id_b",
+        F.round("jaccard", 4).alias("score"),
+        F.lit(None).cast("boolean").alias("is_unique"),
+    )
+    hist = d.where(F.col("doc_id") < 200)
+    new_batch = d.where(F.col("doc_id") >= 200).unionByName(clone)
+    idx = minhash_index(hist, num_hashes=16, bands=8, hash_fn="md5")
+    report, _ = dedup_incremental_batch(
+        new_batch, idx, num_hashes=16, bands=8, threshold=0.5,
+        hash_fn="md5",
+    )
+    inc_part = report.select(
+        F.lit("incremental").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.col("matched_hist_id").alias("id_b"),
+        F.col("est_jaccard").alias("score"),
+        "is_unique",
+    )
+    return self_part.unionByName(inc_part)
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1403,9 +1434,15 @@ def _planes_sql(vec_expr: str = "embedding::DOUBLE[]") -> str:
 
 
 def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42,
-                        threshold: float = 0.8, shingle_n: int = 3) -> str:
-    """DuckDB replay of the full md5-portable MinHash+LSH pipeline
-    (operators/dedup.py minhash_near_duplicates with hash_fn='md5')."""
+                        threshold: float = 0.8, shingle_n: int = 3,
+                        inc_threshold: float = 0.5,
+                        hist_below: int = 200) -> str:
+    """DuckDB replay of the full md5-portable MinHash+LSH pipeline, BOTH
+    deployment shapes (operators/dedup.py with hash_fn='md5'):
+    ``self`` = minhash_near_duplicates (band join → exact-Jaccard verify);
+    ``incremental`` = dedup_incremental_batch (docs < hist_below are the
+    persisted index, the rest + the clone match against it; score is the
+    matching-minhash fraction over the num_hashes signature positions)."""
     from ndap_data_validator_spark.functions.porthash import portable_hash64_sql as P
 
     mins = ", ".join(
@@ -1429,6 +1466,10 @@ def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42,
         " / (len(x.shingles) + len(y.shingles)"
         " - len(list_intersect(x.shingles, y.shingles)))"
     )
+    est = "(" + " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    ) + f")::DOUBLE / {num_hashes}"
     return rf"""
       WITH docs AS (
         SELECT doc_id, text FROM documents WHERE doc_id < 300
@@ -1449,12 +1490,30 @@ def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42,
       banded AS ({band_selects}),
       pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM banded a JOIN banded b USING (band_idx, band_hash)
-                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-      SELECT p.id_a, p.id_b, ROUND({jac}, 4) AS jaccard
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      icand AS (SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+                FROM banded n JOIN banded h USING (band_idx, band_hash)
+                WHERE n.doc_id >= {hist_below} AND h.doc_id < {hist_below}),
+      ihits AS (SELECT new_id, hist_id, ROUND({est}, 4) AS est
+                FROM icand
+                JOIN sig x ON icand.new_id = x.doc_id
+                JOIN sig y ON icand.hist_id = y.doc_id
+                WHERE ROUND({est}, 4) >= {inc_threshold}),
+      ibest AS (SELECT new_id, MIN(hist_id) AS matched_hist_id,
+                       MAX(est) AS est
+                FROM ihits GROUP BY new_id)
+      SELECT 'self' AS method, p.id_a, p.id_b, ROUND({jac}, 4) AS score,
+             CAST(NULL AS BOOLEAN) AS is_unique
       FROM pairs p
       JOIN s x ON p.id_a = x.doc_id
       JOIN s y ON p.id_b = y.doc_id
       WHERE {jac} >= {threshold}
+      UNION ALL
+      SELECT 'incremental' AS method, d.doc_id AS id_a,
+             b.matched_hist_id AS id_b, b.est AS score,
+             b.matched_hist_id IS NULL AS is_unique
+      FROM (SELECT doc_id FROM docs WHERE doc_id >= {hist_below}) d
+      LEFT JOIN ibest b ON d.doc_id = b.new_id
     """
 
 
