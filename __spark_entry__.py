@@ -1009,17 +1009,30 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RPT_SLOGAN = " standard boilerplate footer text all rights reserved worldwide"
 _RPT_N = 6
+_LINE_BOILER = "cookie consent accept all essential functional and analytics"
 
 
 def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document repeated n-gram spans (operators/repeated.py — the
-    n-gram-granularity approximation of suffix-array substring dedup, Lee
-    et al. 2022): every 10th document gets an appended 8-token boilerplate
-    slogan, so those docs share a run of consecutive repeated 6-gram
-    positions; each doc reports its repeated fraction and longest run.
+    """Cross-document repeated-text removal, both granularities in one
+    method-tagged union (operators/repeated.py):
+
+    * ``ngram`` — repeated n-gram spans (the n-gram-granularity
+      approximation of suffix-array substring dedup, Lee et al. 2022):
+      every 10th document gets an appended boilerplate slogan, so those
+      docs share a run of consecutive repeated 6-gram positions; each doc
+      reports its repeated fraction and longest run (cleaned_md5 NULL —
+      this op flags, it does not rewrite);
+    * ``line`` — RefinedWeb/C4-style line dedup: documents are recast as
+      3-line pages (first 12 words / every 5th doc a planted cookie-banner
+      line / the rest), lines shared by ≥2 docs are removed, and each doc
+      reports the same rollup plus ``cleaned_md5`` — the md5 of the
+      reassembled cleaned text, so the oracle verifies the REWRITE, not
+      just the counts.
+
     md5-portable hashing lets DuckDB replay positions, the repeated-hash
-    set, and the run-length grouping exactly."""
+    sets, the run-length grouping, and the line reassembly exactly."""
     from ndap_data_validator_spark.operators.repeated import (
+        line_dedup,
         repeated_ngram_report,
     )
 
@@ -1031,9 +1044,38 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(_RPT_SLOGAN)),
         ).otherwise(F.col("text")).alias("text"),
     )
-    return repeated_ngram_report(
+    ngram = repeated_ngram_report(
         planted, n=_RPT_N, min_docs=2, seed=42, hash_fn="md5"
+    ).select(
+        F.lit("ngram").alias("method"),
+        "doc_id",
+        "n_positions",
+        "n_repeated",
+        "repeated_frac",
+        "max_repeated_run",
+        F.lit(None).cast("string").alias("cleaned_md5"),
     )
+    w = F.split(F.col("text"), " ")
+    head = F.concat_ws(" ", F.slice(w, 1, 12))
+    tail = F.concat_ws(" ", F.slice(w, 13, F.size(w)))
+    pages = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.concat_ws("\n", head, F.lit(_LINE_BOILER), tail),
+        ).otherwise(F.concat_ws("\n", head, tail)).alias("text"),
+    )
+    _, line_report = line_dedup(pages, min_docs=2, seed=42, hash_fn="md5")
+    line = line_report.select(
+        F.lit("line").alias("method"),
+        "doc_id",
+        F.col("n_lines").alias("n_positions"),
+        "n_repeated",
+        "repeated_frac",
+        "max_repeated_run",
+        "cleaned_md5",
+    )
+    return ngram.unionByName(line)
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,8 +2280,46 @@ def _repeated_ngrams_oracle_sql(seed: int = 42, min_docs: int = 2) -> str:
       g AS (SELECT doc_id,
                    CASE WHEN r = 1 THEN pos - cum ELSE NULL END AS grp,
                    COUNT(*) AS cnt
-            FROM c GROUP BY doc_id, grp)
-      SELECT doc_id,
+            FROM c GROUP BY doc_id, grp),
+      ldocs AS (SELECT doc_id,
+               array_to_string(w[1:12], ' ')
+               || CASE WHEN doc_id % 5 = 0
+                       THEN chr(10) || '{_LINE_BOILER}' ELSE '' END
+               || chr(10)
+               || COALESCE(array_to_string(w[13:len(w)], ' '), '')
+                 AS text
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE doc_id < 400)),
+      ll AS (SELECT doc_id, string_split(text, chr(10)) AS L FROM ldocs),
+      lpx AS (SELECT doc_id, L,
+                unnest(generate_series(1, len(L))) AS pos
+              FROM ll),
+      lrow AS (SELECT doc_id, pos, L[pos] AS line,
+                      lower(trim(L[pos])) AS norm
+               FROM lpx),
+      lelig AS (SELECT doc_id, pos, {P('norm', seed)} AS hh
+                FROM lrow WHERE norm <> ''),
+      lrep AS (SELECT hh FROM (
+                 SELECT hh, COUNT(DISTINCT doc_id) AS nd
+                 FROM lelig GROUP BY hh)
+               WHERE nd >= {min_docs}),
+      lflag AS (SELECT e.doc_id, e.pos, 1 AS r
+                FROM lelig e JOIN lrep USING (hh)),
+      lc AS (SELECT l.doc_id, l.pos, l.line, COALESCE(f.r, 0) AS r,
+                    SUM(COALESCE(f.r, 0)) OVER (
+                      PARTITION BY l.doc_id ORDER BY l.pos) AS cum
+             FROM lrow l LEFT JOIN lflag f ON l.doc_id = f.doc_id
+                                          AND l.pos = f.pos),
+      lclean AS (SELECT doc_id,
+                   COALESCE(array_to_string(
+                     list(line ORDER BY pos) FILTER (WHERE r = 0),
+                     chr(10)), '') AS t
+                 FROM lc GROUP BY doc_id),
+      lg AS (SELECT doc_id,
+                    CASE WHEN r = 1 THEN pos - cum ELSE NULL END AS grp,
+                    COUNT(*) AS cnt
+             FROM lc GROUP BY doc_id, grp),
+      lroll AS (SELECT doc_id,
              CAST(SUM(cnt) AS BIGINT) AS n_positions,
              CAST(SUM(CASE WHEN grp IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
                AS n_repeated,
@@ -2247,7 +2327,21 @@ def _repeated_ngrams_oracle_sql(seed: int = 42, min_docs: int = 2) -> str:
                    / SUM(cnt), 4) AS repeated_frac,
              CAST(COALESCE(MAX(CASE WHEN grp IS NOT NULL THEN cnt END), 0)
                AS BIGINT) AS max_repeated_run
+      FROM lg GROUP BY doc_id)
+      SELECT 'ngram' AS method, doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_positions,
+             CAST(SUM(CASE WHEN grp IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_repeated,
+             ROUND(SUM(CASE WHEN grp IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE
+                   / SUM(cnt), 4) AS repeated_frac,
+             CAST(COALESCE(MAX(CASE WHEN grp IS NOT NULL THEN cnt END), 0)
+               AS BIGINT) AS max_repeated_run,
+             CAST(NULL AS VARCHAR) AS cleaned_md5
       FROM g GROUP BY doc_id
+      UNION ALL
+      SELECT 'line' AS method, r.doc_id, r.n_positions, r.n_repeated,
+             r.repeated_frac, r.max_repeated_run, md5(c.t) AS cleaned_md5
+      FROM lroll r JOIN lclean c USING (doc_id)
     """
 
 

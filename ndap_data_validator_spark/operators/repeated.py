@@ -135,3 +135,139 @@ def repeated_ngram_report(
             "max_repeated_run",
         )
     )
+
+
+# ------------------------------------------------------- line-level dedup
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    round_digits: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-document LINE deduplication (the RefinedWeb / C4 line-wise
+    filter): a line whose casefolded form appears in at least ``min_docs``
+    distinct documents is boilerplate (nav bars, cookie banners, footers)
+    and is removed from every document; the document survives with its
+    remaining lines re-joined in order. Returns ``(cleaned, report)``:
+
+    * ``cleaned`` — (id, text) with the flagged lines removed ('' when
+      nothing survives);
+    * ``report`` — per doc: (id, n_lines, n_repeated [lines removed],
+      repeated_frac, max_repeated_run [longest streak of consecutive
+      removed lines], cleaned_md5) — the same rollup shape as
+      :func:`repeated_ngram_report` with the reassembly receipt added.
+
+    Empty (whitespace-only) lines are never removal-eligible — they are
+    duplicated everywhere by construction and removing them would churn
+    every document's layout.
+
+    Plan shape, sized for 100 TB: lines are one scan-level
+    ``posexplode``; the repeated-line set is ``distinct(id, hash) →
+    groupBy(hash)`` on an 8-byte key (map-side partial agg) and only
+    hashes reaching ``min_docs`` survive, so AQE broadcasts the marking
+    join's flag side; the reassembly is ONE groupBy on the id carrying
+    (pos, line) — no window, no second text shuffle. ``hash_fn='md5'``
+    (portable_hash64) makes the whole pipeline oracle-replayable.
+
+    No counterpart in the reference (tabular scope, utils/validation.py);
+    north-star training-data op.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).select(
+        id_col,
+        (F.col("__pos") + 1).alias("__pos"),
+        "__line",
+        F.lower(F.trim("__line")).alias("__norm"),
+    )
+    eligible = lines.where(F.col("__norm") != "").select(
+        id_col, "__pos", _hash64(F.col("__norm"), seed, hash_fn).alias("__h")
+    )
+    repeated = (
+        eligible.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(1).alias("__r"))
+    )
+    # null-safe id equality: a NULL id is one (anonymous) document — the
+    # plain equi-join would silently never mark its removals
+    flags = eligible.join(repeated, "__h").select(
+        F.col(id_col).alias("__fid"),
+        F.col("__pos").alias("__fpos"),
+        "__r",
+    )
+    marked = (
+        lines.join(
+            flags,
+            F.col(id_col).eqNullSafe(F.col("__fid"))
+            & (F.col("__pos") == F.col("__fpos")),
+            "left",
+        )
+        .select(
+            id_col,
+            "__pos",
+            "__line",
+            F.coalesce(F.col("__r"), F.lit(0)).alias("__r"),
+        )
+    )
+    kept_struct = F.when(
+        F.col("__r") == 0, F.struct(F.col("__pos"), F.col("__line"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    grouped = (
+        marked.select(
+            id_col,
+            "__r",
+            kept_struct.alias("__kept"),
+            F.when(
+                F.col("__r") == 1, F.col("__pos") - F.sum("__r").over(w)
+            ).alias("__grp"),
+        )
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.collect_list("__kept").alias("__kl"),
+        )
+    )
+    rep_cnt = F.when(F.col("__grp").isNotNull(), F.col("__cnt")).otherwise(
+        F.lit(0)
+    )
+    report = (
+        grouped.groupBy(id_col)
+        .agg(
+            F.sum("__cnt").alias("n_lines"),
+            F.sum(rep_cnt).alias("n_repeated"),
+            F.coalesce(
+                F.max(F.when(F.col("__grp").isNotNull(), F.col("__cnt"))),
+                F.lit(0),
+            ).alias("max_repeated_run"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.flatten(F.collect_list("__kl"))),
+                    lambda s: s["__line"],
+                ),
+            ).alias("__text"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_repeated",
+            F.round(
+                F.col("n_repeated").cast("double") / F.col("n_lines"),
+                round_digits,
+            ).alias("repeated_frac"),
+            "max_repeated_run",
+            F.md5("__text").alias("cleaned_md5"),
+            "__text",
+        )
+    )
+    cleaned = report.select(id_col, F.col("__text").alias(text_col))
+    return cleaned, report.drop("__text")

@@ -559,6 +559,24 @@ assert not any(d.startswith("re-") for d in appended)
 print(f"incremental dedup: {n_clone}/{n_clones_total} cross-batch clones "
       f"matched history; {len(appended)} unique docs appended to index")
 
+from ndap_data_validator_spark.operators.repeated import line_dedup
+
+# line-level dedup: every doc gets the same appended banner line — it is
+# boilerplate by construction and must vanish from every cleaned doc
+ld_in = docs.dropDuplicates(["doc_id"]).limit(120).select(
+    "doc_id",
+    F.concat(F.col("text"), F.lit("\nStandard Cookie Banner Accept")).alias(
+        "text"
+    ),
+)
+ld_clean, ld_rep = line_dedup(ld_in, min_docs=2)
+assert ld_rep.count() == 120
+assert ld_rep.where(F.col("n_repeated") < 1).count() == 0
+assert ld_clean.where(F.col("text").contains("Cookie Banner")).count() == 0
+n_removed = ld_rep.agg(F.sum("n_repeated")).first()[0]
+print(f"line dedup: banner removed from all 120 docs; "
+      f"{n_removed} repeated lines total")
+
 from ndap_data_validator_spark.operators.dsir import dsir_select
 
 # DSIR: target = the clean (pos) class; raw = clean + vowel-mangled clones.
