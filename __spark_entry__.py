@@ -278,11 +278,39 @@ def q_union_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_uniqueness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """north_rule uniqueness: composite-key dup census via groupBy count>1."""
+    """north_rule uniqueness, BOTH report shapes in one method-tagged entry
+    (consolidated r05, cap — funds the sequence_checks slot):
+
+    * 'key_census' — composite-key dup census via groupBy count>1 (map-side
+      partial agg, cheapest violation count; uniqueness.duplicate_keys);
+    * 'dup_rows' — every row participating in a duplicated key, tagged with
+      its occurrence number under a stable order (uniqueness.duplicate_rows,
+      one shuffle on the key, both windows share the partitioning) — the
+      byte-comparable violation-report shape.
+
+    Columns aligned as (method, o_custkey, detail, occurrence, dup_count);
+    census rows carry detail=o_orderpriority and NULL occurrence, dup-row
+    rows carry detail=str(o_orderkey)."""
+    from ndap_data_validator_spark.operators.uniqueness import duplicate_rows
+
     o = _t(spark, sf_dir, "orders")
-    return duplicate_keys(o, ["o_custkey", "o_orderpriority"]).select(
-        "o_custkey", "o_orderpriority", "dup_count"
+    census = duplicate_keys(o, ["o_custkey", "o_orderpriority"]).select(
+        F.lit("key_census").alias("method"),
+        "o_custkey",
+        F.col("o_orderpriority").alias("detail"),
+        F.lit(None).cast("int").alias("occurrence"),
+        "dup_count",
     )
+    rows = duplicate_rows(
+        o.where(F.col("o_custkey") < 100), ["o_custkey"], order_by=["o_orderkey"]
+    ).select(
+        F.lit("dup_rows").alias("method"),
+        "o_custkey",
+        F.col("o_orderkey").cast("string").alias("detail"),
+        "occurrence",
+        "dup_count",
+    )
+    return census.unionByName(rows)
 
 
 def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,17 +510,48 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_duplicate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Occurrence-tagged duplicate rows (uniqueness.py duplicate_rows): every
-    row participating in a duplicated key, numbered under a stable order —
-    the violation-report shape the north_rule's byte-comparable reports use.
-    One shuffle on the key (both window functions share the partitioning)."""
-    from ndap_data_validator_spark.operators.uniqueness import duplicate_rows
+def q_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r05 — conversation-order sequence checks (operators/convchecks.py),
+    the transcript-shaped window rules the north_rule's payload needs beyond
+    per-row checks: order gaps, ts regressions, role repeats, long silences.
 
-    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
-    return duplicate_rows(
-        o, ["o_custkey"], order_by=["o_orderkey"]
-    ).select("o_custkey", "o_orderkey", "occurrence", "dup_count")
+    Events is deterministically reshaped into a transcript frame (conv_id=
+    user_id, turn_idx=row_number per user by event_id, role=event_type),
+    then violations are INJECTED the replayable way: every 7th event_id row
+    is dropped (punches turn-contiguity holes) and every 11th has its ts
+    pulled back 720h (creates regressions, and 500h+ recovery gaps after
+    them). ONE window shuffle on the conversation key computes all four
+    checks in the same projection (lag ts/role), unpivoted via
+    array_compact+explode — no per-check pass."""
+    from ndap_data_validator_spark.operators.convchecks import sequence_checks
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("user_id") < 75)
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = e.select(
+        F.col("user_id").alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.when(
+            F.col("event_id") % 11 == 0,
+            F.col("ts") - F.expr("INTERVAL 720 HOURS"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        "event_id",
+    ).where(F.col("event_id") % 7 != 0)
+    return sequence_checks(
+        t,
+        key_col="conv_id",
+        order_col="turn_idx",
+        ts_col="ts",
+        role_col="role",
+        expected_step=1,
+        max_gap_sec=500 * 3600,
+    )
 
 
 def q_dtype_coercion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,7 +1465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sampling shapes into one method-tagged union, and the regex token
     # count rides text_quality (the real BPE count is bpe_encode).
     # r05: lang_id folded into text_quality (lang_guess column — same
-    # per-doc projection) to fund the new bpe_train slot.
+    # per-doc projection) to fund the new bpe_train slot; duplicate_rows
+    # folded into uniqueness_violations (method-tagged union of census +
+    # occurrence-tagged rows) to fund the sequence_checks slot.
     return {
         "null_census": q_null_census,
         "coercion_report": q_coercion_report,
@@ -1418,7 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_lineage": q_join_lineage,
         "union_tokens": q_union_tokens,
         "uniqueness_violations": q_uniqueness_violations,
-        "duplicate_rows": q_duplicate_rows,
+        "sequence_checks": q_sequence_checks,
         "ri_orphans": q_ri_orphans,
         "column_stats": q_column_stats,
         "drift_report": q_drift_report,
@@ -2619,8 +2680,50 @@ def oracle_sql() -> dict[str, str]:
     """
 
     uniqueness = """
-      SELECT o_custkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS dup_count
+      SELECT 'key_census' AS method, o_custkey, o_orderpriority AS detail,
+             CAST(NULL AS INT) AS occurrence, CAST(COUNT(*) AS BIGINT) AS dup_count
       FROM orders GROUP BY o_custkey, o_orderpriority HAVING COUNT(*) > 1
+      UNION ALL
+      SELECT 'dup_rows', o_custkey, detail, occurrence, dup_count FROM (
+        SELECT o_custkey, CAST(o_orderkey AS VARCHAR) AS detail,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey) AS INT)
+                 AS occurrence,
+               CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+                 AS dup_count
+        FROM orders WHERE o_custkey < 100) t
+      WHERE dup_count > 1
+    """
+
+    sequence_checks = """
+      WITH e AS (
+        SELECT * FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id < 75),
+      t AS (
+        SELECT user_id AS conv_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+               event_type AS role,
+               CASE WHEN event_id % 11 = 0 THEN ts - INTERVAL 720 HOUR
+                    ELSE ts END AS ts,
+               event_id
+        FROM e),
+      t2 AS (SELECT * FROM t WHERE event_id % 7 != 0),
+      l AS (
+        SELECT conv_id, turn_idx, ts, role,
+               LAG(turn_idx) OVER w AS pturn,
+               LAG(ts) OVER w AS pts,
+               LAG(role) OVER w AS prole
+        FROM t2 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+      SELECT conv_id, turn_idx, 'order_gap' AS "check"
+        FROM l WHERE turn_idx != pturn + 1
+      UNION ALL
+      SELECT conv_id, turn_idx, 'ts_regression' FROM l WHERE ts < pts
+      UNION ALL
+      SELECT conv_id, turn_idx, 'long_gap'
+        FROM l WHERE ts > pts + INTERVAL 500 HOUR
+      UNION ALL
+      SELECT conv_id, turn_idx, 'role_repeat' FROM l WHERE role = prole
     """
 
     ri_orphans = """
@@ -3034,18 +3137,7 @@ def oracle_sql() -> dict[str, str]:
           FROM events GROUP BY event_type
         """,
         "topk_orders": topk_orders,
-        "duplicate_rows": """
-          WITH t AS (
-            SELECT o_custkey, o_orderkey,
-                   CAST(ROW_NUMBER() OVER (
-                     PARTITION BY o_custkey ORDER BY o_orderkey) AS INT)
-                     AS occurrence,
-                   CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)
-                     AS dup_count
-            FROM orders WHERE o_custkey < 100)
-          SELECT o_custkey, o_orderkey, occurrence, dup_count
-          FROM t WHERE dup_count > 1
-        """,
+        "sequence_checks": sequence_checks,
         "dtype_coercion_report": dtype_coercion_report,
         "three_way_join": """
           SELECT n.n_name AS n_name,

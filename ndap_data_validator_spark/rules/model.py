@@ -98,6 +98,23 @@ class UniquenessRule:
 
 
 @dataclass(frozen=True)
+class SequenceRule:
+    """Conversation-order sequence rules over a (key, order) window — the
+    transcript-payload checks beyond per-row rules: turn contiguity
+    (``expected_step``), event-time monotonicity (``ts_column``), speaker
+    alternation (``role_column``), and maximum silence (``max_gap_sec``).
+    Compiled by ``operators/convchecks.sequence_checks`` into ONE window
+    shuffle on ``key_column``."""
+
+    key_column: str
+    order_column: str
+    ts_column: str | None = None
+    role_column: str | None = None
+    expected_step: int | None = None
+    max_gap_sec: float | None = None
+
+
+@dataclass(frozen=True)
 class ReferentialRule:
     """Referential integrity: every non-null ``column`` value must exist in
     ``ref_table_name.ref_column`` (violations = left-anti join)."""

@@ -162,6 +162,21 @@ def main() -> None:
             "group keys.",
         ),
         (
+            "Sequence checks (one window, four rules)",
+            __import__(
+                "ndap_data_validator_spark.operators.convchecks", fromlist=["c"]
+            ).sequence_checks(
+                df, key_col="conv_id", order_col="turn_idx", ts_col="ts",
+                role_col="role", expected_step=1, max_gap_sec=600,
+            ),
+            "All four conversation-order rules (turn contiguity, ts "
+            "monotonicity, role alternation, max silence) compile into ONE "
+            "window over (conv_id, turn_idx): a single Exchange on the "
+            "conversation key and a single Sort feed every lag; the checks "
+            "are array_compact+explode in the same projection — adding a "
+            "rule adds zero passes and zero shuffles.",
+        ),
+        (
             "Deterministic hash-gate sample (pure filter)",
             __import__(
                 "ndap_data_validator_spark.operators.sample", fromlist=["s"]

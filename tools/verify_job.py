@@ -596,5 +596,27 @@ assert kept_neg < n_kept * 0.1, (kept_neg, n_kept)  # kept set is ~all target-li
 print(f"dsir: kept {n_kept}/{n_all}, {kept_neg} mangled survivors; "
       f"mean log_w pos {means[False]:.2f} vs neg {means[True]:.2f}")
 
+from ndap_data_validator_spark.operators.convchecks import (
+    sequence_checks,
+    sequence_report,
+)
+
+# sequence checks on the generated transcripts: the generator injects
+# duplicate (conv, turn) pairs, which break turn contiguity — order gaps
+# MUST be found; the report rollup must agree with the row-level count
+seq = sequence_checks(
+    df, key_col="conv_id", order_col="turn_idx",
+    ts_col="ts", role_col="role", expected_step=1,
+)
+seq_counts = {r["check"]: r["n"] for r in
+              seq.groupBy("check").agg(F.count(F.lit(1)).alias("n")).collect()}
+assert seq_counts.get("order_gap", 0) > 0, seq_counts
+rep_counts = {r["check"]: r["n_violations"] for r in sequence_report(
+    df, key_col="conv_id", order_col="turn_idx",
+    ts_col="ts", role_col="role", expected_step=1,
+).collect()}
+assert rep_counts == seq_counts, (rep_counts, seq_counts)
+print(f"sequence checks: {seq_counts}")
+
 print("JOB OK")
 spark.stop()
