@@ -364,8 +364,11 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     flavors in one row (consolidated r04, cap): binned KS/PSI and the
     fully distributed exact two-sample KS (per-value counts → range-sliced
     prefix-sum CDFs, no data-sized single task), all derived from ONE
-    shared scan's per-value counts (r05)."""
+    shared scan's per-value counts (r05), PLUS the categorical drift block
+    (smoothed PSI + two-sample chi-square over o_orderpriority category
+    counts — NEW r05)."""
     from ndap_data_validator_spark.operators.drift import (
+        categorical_drift,
         ks_exact_from_counts,
         two_sample_value_counts,
     )
@@ -405,6 +408,12 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ks_exact = ks_exact_from_counts(counts).first()["ks"]
     finally:
         counts.unpersist()
+    # categorical drift (NEW r05) on the same split, over the categorical
+    # column: per-category two-sample counts → smoothed PSI + two-sample
+    # chi-square, all Catalyst arithmetic on the category-sized frame
+    cat = categorical_drift(
+        o, "o_orderpriority", F.year("o_orderdate") <= 1997
+    ).first()
     # Every output value is a driver-side scalar at this point — assemble
     # ONE single-slice literal row instead of joining two RDD-backed 1-row
     # frames on a constant key, which Catalyst folds into a condition-less
@@ -412,8 +421,18 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry was that join).
     return _literal_df(
         spark,
-        [(r.column, round(r.ks, 6), round(r.psi, 4), round(ks_exact, 6))],
-        "column string, ks_binned double, psi double, ks_exact double",
+        [(
+            r.column,
+            round(r.ks, 6),
+            round(r.psi, 4),
+            round(ks_exact, 6),
+            "o_orderpriority",
+            round(cat["psi_cat"], 6),
+            round(cat["chi2_cat"], 4),
+            int(cat["n_categories"]),
+        )],
+        "column string, ks_binned double, psi double, ks_exact double, "
+        "cat_column string, psi_cat double, chi2_cat double, n_categories int",
     )
 
 
@@ -2778,9 +2797,31 @@ def oracle_sql() -> dict[str, str]:
       FROM cdf, t
     """
 
+    drift_cat = """
+      WITH c AS (
+        SELECT o_orderpriority AS cat,
+               SUM(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)::DOUBLE AS a_cnt,
+               SUM(CASE WHEN year(o_orderdate) > 1997 THEN 1 ELSE 0 END)::DOUBLE AS b_cnt
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+        GROUP BY 1),
+      t AS (SELECT SUM(a_cnt) AS A, SUM(b_cnt) AS B, COUNT(*)::DOUBLE AS K FROM c)
+      SELECT 'o_orderpriority' AS cat_column,
+             ROUND(SUM(((b_cnt + 0.5) / (t.B + t.K * 0.5) - (a_cnt + 0.5) / (t.A + t.K * 0.5))
+                   * LN(((b_cnt + 0.5) / (t.B + t.K * 0.5)) / ((a_cnt + 0.5) / (t.A + t.K * 0.5)))), 6) AS psi_cat,
+             ROUND(SUM(
+               POWER(a_cnt - (a_cnt + b_cnt) * t.A / (t.A + t.B), 2) / ((a_cnt + b_cnt) * t.A / (t.A + t.B))
+               + POWER(b_cnt - (a_cnt + b_cnt) * t.B / (t.A + t.B), 2) / ((a_cnt + b_cnt) * t.B / (t.A + t.B))), 4) AS chi2_cat,
+             CAST(COUNT(*) AS INT) AS n_categories
+      FROM c, t GROUP BY t.A, t.B, t.K
+    """
+
     drift_report = f"""
-      SELECT b."column", b.ks_binned, b.psi, e.ks_exact
-      FROM ({drift_sql}) b JOIN ({drift_exact_ks}) e USING ("column")
+      SELECT b."column", b.ks_binned, b.psi, e.ks_exact,
+             c.cat_column, c.psi_cat, c.chi2_cat, c.n_categories
+      FROM ({drift_sql}) b
+      JOIN ({drift_exact_ks}) e USING ("column")
+      CROSS JOIN ({drift_cat}) c
     """
 
     ngram_pairs_cte = r"""

@@ -354,3 +354,74 @@ def drift_check(
             "counts": {int(r["bin_id"]): int(r["bin_count"]) for r in rows},
         }
     return compare(baseline_snapshot, current)
+
+
+def categorical_counts(df: DataFrame, column: str, side_a) -> DataFrame:
+    """ONE scan → per-category two-sample counts ``(cat, a_cnt, b_cnt)``
+    for a CATEGORICAL column — the string-domain twin of
+    :func:`two_sample_value_counts`. The groupBy does map-side partial
+    counting, so the shuffle carries one row per (map partition ×
+    category); categorical domains are bounded by definition, so the
+    result frame is category-count-sized regardless of table size."""
+    keep = F.col(column).isNotNull() & side_a.isNotNull()
+    flag = F.when(side_a, 1).otherwise(0)
+    return (
+        df.where(keep)
+        .groupBy(F.col(column).alias("cat"))
+        .agg(
+            F.sum(flag).alias("a_cnt"),
+            F.sum(F.lit(1) - flag).alias("b_cnt"),
+        )
+    )
+
+
+def categorical_drift_from_counts(
+    counts: DataFrame, smoothing: float = 0.5
+) -> DataFrame:
+    """Categorical drift statistics over a precomputed
+    ``(cat, a_cnt, b_cnt)`` frame: ONE row
+    ``(psi_cat, chi2_cat, n_categories)``.
+
+    * ``psi_cat`` — PSI over category proportions, additively smoothed
+      (``smoothing`` pseudo-counts per category per side) so categories
+      absent from one side contribute a finite, monotone term instead of
+      ±inf; direction matches the binned PSI convention (current b vs
+      baseline a).
+    * ``chi2_cat`` — the two-sample chi-square statistic under the pooled
+      expectation (no smoothing: expected counts are positive whenever the
+      category exists at all).
+
+    Everything is Catalyst arithmetic on the category-count-sized frame:
+    totals come from one tiny agg, broadcast back as a 1-row frame — no
+    collect, no Python."""
+    totals = counts.agg(
+        F.sum("a_cnt").cast("double").alias("__A"),
+        F.sum("b_cnt").cast("double").alias("__B"),
+        F.count(F.lit(1)).cast("double").alias("__K"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    s = F.lit(float(smoothing))
+    pa = (F.col("a_cnt") + s) / (F.col("__A") + F.col("__K") * s)
+    pb = (F.col("b_cnt") + s) / (F.col("__B") + F.col("__K") * s)
+    tot = F.col("a_cnt") + F.col("b_cnt")
+    ea = tot * F.col("__A") / (F.col("__A") + F.col("__B"))
+    eb = tot * F.col("__B") / (F.col("__A") + F.col("__B"))
+    return j.agg(
+        F.sum((pb - pa) * F.log(pb / pa)).alias("psi_cat"),
+        F.sum(
+            (F.col("a_cnt") - ea) * (F.col("a_cnt") - ea) / ea
+            + (F.col("b_cnt") - eb) * (F.col("b_cnt") - eb) / eb
+        ).alias("chi2_cat"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+
+
+def categorical_drift(
+    df: DataFrame, column: str, side_a, smoothing: float = 0.5
+) -> DataFrame:
+    """Categorical drift between the ``side_a`` rows (baseline) and the
+    rest (current) of one table: :func:`categorical_counts` →
+    :func:`categorical_drift_from_counts`."""
+    return categorical_drift_from_counts(
+        categorical_counts(df, column, side_a), smoothing=smoothing
+    )

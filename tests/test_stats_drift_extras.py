@@ -155,3 +155,51 @@ def test_exact_percentiles_distributed_empty_and_constant(spark):
     const = spark.range(9).select(F.lit(3.5).alias("x"))
     row = exact_percentiles_distributed(const, "x", ps=(0.5, 0.99)).first()
     assert row["p50"] == 3.5 and row["p99"] == 3.5
+
+
+def test_categorical_drift_hand_computed(spark):
+    """a-side: x×3, y×1; b-side: x×1, y×2, z×1 — PSI/chi2 checked against
+    the closed forms computed by hand (smoothing 0.5)."""
+    import math
+
+    from ndap_data_validator_spark.operators.drift import categorical_drift
+
+    rows = [("x", True)] * 3 + [("y", True)] + [("x", False)] + \
+        [("y", False)] * 2 + [("z", False)]
+    df = spark.createDataFrame(rows, "cat string, is_a boolean")
+    got = categorical_drift(df, "cat", F.col("is_a"), smoothing=0.5).first()
+
+    A, B, K, s = 4.0, 4.0, 3.0, 0.5
+    counts = {"x": (3, 1), "y": (1, 2), "z": (0, 1)}
+    psi = chi2 = 0.0
+    for a, b in counts.values():
+        pa = (a + s) / (A + K * s)
+        pb = (b + s) / (B + K * s)
+        psi += (pb - pa) * math.log(pb / pa)
+        ea = (a + b) * A / (A + B)
+        eb = (a + b) * B / (A + B)
+        chi2 += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+    assert abs(got["psi_cat"] - psi) < 1e-12
+    assert abs(got["chi2_cat"] - chi2) < 1e-12
+    assert got["n_categories"] == 3
+
+
+def test_categorical_drift_identical_sides_is_zero(spark):
+    from ndap_data_validator_spark.operators.drift import categorical_drift
+
+    rows = [(c, s) for c in ("x", "y", "z") for s in (True, False)] * 5
+    df = spark.createDataFrame(rows, "cat string, is_a boolean")
+    got = categorical_drift(df, "cat", F.col("is_a")).first()
+    assert abs(got["psi_cat"]) < 1e-12
+    assert abs(got["chi2_cat"]) < 1e-12
+
+
+def test_categorical_drift_null_category_and_side_excluded(spark):
+    from ndap_data_validator_spark.operators.drift import categorical_drift
+
+    rows = [("x", True), ("x", False), (None, True), ("y", None)]
+    df = spark.createDataFrame(rows, "cat string, is_a boolean")
+    got = categorical_drift(df, "cat", F.col("is_a")).first()
+    # only the two 'x' rows survive: one per side, zero drift, one category
+    assert got["n_categories"] == 1
+    assert abs(got["chi2_cat"]) < 1e-12

@@ -618,5 +618,18 @@ rep_counts = {r["check"]: r["n_violations"] for r in sequence_report(
 assert rep_counts == seq_counts, (rep_counts, seq_counts)
 print(f"sequence checks: {seq_counts}")
 
+from ndap_data_validator_spark.operators.drift import categorical_drift
+
+# categorical drift: role distribution between the two halves of the
+# transcripts (even vs odd conv hash) must be ~identical → tiny PSI; the
+# role column against a turn-skewed split must show drift
+half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+flat = categorical_drift(df, "role", half).first()
+skew = categorical_drift(df, "role", F.col("turn_idx") % 3 == 0).first()
+assert abs(flat["psi_cat"]) < 0.01, flat
+assert skew["psi_cat"] > flat["psi_cat"], (skew, flat)
+print(f"categorical drift: flat psi {flat['psi_cat']:.5f} "
+      f"skewed psi {skew['psi_cat']:.5f} over {flat['n_categories']} roles")
+
 print("JOB OK")
 spark.stop()
