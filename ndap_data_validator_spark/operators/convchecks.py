@@ -42,8 +42,12 @@ def sequence_checks(
     role_col: str | None = None,
     expected_step: int | None = None,
     max_gap_sec: float | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-key sequence-violation rows: ``(key, order, check)``.
+    """Per-key sequence-violation rows: ``(*carry_cols, key, order, check)``.
+
+    ``carry_cols`` are passed through unchanged (e.g. the pipeline's
+    ``partition_id``) — they ride the same projection, costing nothing.
 
     One row per violated check per turn; a turn with several violations
     emits several rows (the explode is over the per-row check array).
@@ -95,12 +99,14 @@ def sequence_checks(
     hits = F.array_compact(F.array(*checks))
     return (
         df.select(
+            *[F.col(c) for c in carry_cols],
             F.col(key_col),
             F.col(order_col),
             hits.alias("__checks"),
         )
         .where(F.size("__checks") > 0)
         .select(
+            *carry_cols,
             key_col,
             order_col,
             F.explode("__checks").alias("check"),
@@ -108,7 +114,9 @@ def sequence_checks(
     )
 
 
-def check_sequence_rule(df: DataFrame, rule) -> DataFrame:
+def check_sequence_rule(
+    df: DataFrame, rule, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Catalog entry point: run a ``rules.model.SequenceRule`` (the
     data-plane form the catalog stores, symmetric with UniquenessRule /
     ReferentialRule) through ``sequence_checks``."""
@@ -120,6 +128,7 @@ def check_sequence_rule(df: DataFrame, rule) -> DataFrame:
         role_col=rule.role_column,
         expected_step=rule.expected_step,
         max_gap_sec=rule.max_gap_sec,
+        carry_cols=carry_cols,
     )
 
 

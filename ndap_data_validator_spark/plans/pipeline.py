@@ -68,6 +68,7 @@ def run_validation(
     load_mode: str = "new",
     watermark_col: str | None = None,
     compact_max_files: int | None = 256,
+    sequence_rule=None,
 ) -> RunOutcome:
     """Checkpointed validation run.
 
@@ -98,6 +99,15 @@ def run_validation(
                               the source with mergeSchema; the rule digest
                               already invalidates completions when
                               assignments change).
+
+    ``sequence_rule`` (optional ``rules.model.SequenceRule``) additionally
+    writes conversation-order violation rows to
+    ``{report_path}/sequence_violations`` under the same dynamic-overwrite
+    partition contract. CAVEAT: sequence semantics are per conversation —
+    ``partition_by`` should be derived from the rule's key column (as the
+    north_rule's per-conversation layout is); partitioning that splits a
+    conversation across resume slices would make lag() see a truncated
+    history for the boundary turn.
     """
     if load_mode not in LOAD_MODES:
         raise ValueError(f"load_mode must be one of {LOAD_MODES}")
@@ -193,6 +203,22 @@ def run_validation(
     if report_path is not None:
         _write_partitioned(result.per_column_report, f"{report_path}/per_column")
         _write_partitioned(result.violations, f"{report_path}/violations")
+        if sequence_rule is not None:
+            # conversation-order rules (rules.model.SequenceRule): one
+            # window shuffle on the conversation key over the SAME resume
+            # slice; violation rows land next to the per-row violations
+            # with identical partition/overwrite semantics, so resume and
+            # delta retries replace only their own rows here too
+            from ndap_data_validator_spark.operators.convchecks import (
+                check_sequence_rule,
+            )
+
+            seq_v = check_sequence_rule(
+                remaining.withColumn("__part_id", key),
+                sequence_rule,
+                carry_cols=("__part_id",),
+            ).withColumnRenamed("__part_id", "partition_id")
+            _write_partitioned(seq_v, f"{report_path}/sequence_violations")
 
     # Checkpoint metrics are assembled DISTRIBUTED: per-column stats fold to
     # a map per partition, join the summary, and to_json builds the record —

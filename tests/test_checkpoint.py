@@ -474,3 +474,39 @@ def test_mixed_mode_partition_depth_fails_fast(spark, tmp_path):
             spark, df, assigns, "part",
             checkpoint_path=str(tmp_path / "c4"), report_path=report2,
         )
+
+
+def test_sequence_rule_violations_written_and_resume_safe(spark, tdf, tmp_path):
+    """run_validation(sequence_rule=…) writes conversation-order violation
+    rows next to the per-row violations, with the same dynamic-overwrite
+    resume contract: the resumed half must not wipe the done half."""
+    from ndap_data_validator_spark.rules.model import SequenceRule
+
+    rule = SequenceRule(
+        key_column="conv_id", order_column="turn_idx",
+        ts_column="ts", role_column="role", expected_step=1,
+    )
+    clean = run_validation(
+        spark, tdf, ASSIGNS, PART(), checkpoint_path=str(tmp_path / "c1"),
+        report_path=str(tmp_path / "r1"), sequence_rule=rule,
+    )
+    a = spark.read.parquet(str(tmp_path / "r1/sequence_violations"))
+    assert a.where(F.col("check") == "order_gap").count() > 0
+    assert set(a.columns) == {"conv_id", "turn_idx", "check", "partition_id"}
+
+    # interrupted: one partition first, then resume over the full table
+    run_id = new_run_id()
+    first_part = sorted(clean.processed_partitions)[0]
+    sub = tdf.where(partition_key(PART()) == first_part)
+    run_validation(
+        spark, sub, ASSIGNS, PART(), checkpoint_path=str(tmp_path / "c2"),
+        run_id=run_id, report_path=str(tmp_path / "r2"), sequence_rule=rule,
+    )
+    r2 = run_validation(
+        spark, tdf, ASSIGNS, PART(), checkpoint_path=str(tmp_path / "c2"),
+        run_id=run_id, report_path=str(tmp_path / "r2"), sequence_rule=rule,
+    )
+    assert r2.skipped_partitions == [first_part]
+    b = spark.read.parquet(str(tmp_path / "r2/sequence_violations"))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
