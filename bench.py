@@ -154,21 +154,66 @@ def run_default() -> None:
     # stall window recorded 158s for a query whose true cost is ~8s because
     # back-to-back repeats both landed inside it). Same total cost as
     # back-to-back best-of-2; strictly better under bursty noise.
-    timings: dict[str, float] = {}
+    import gc
+
+    samples: dict[str, list[float]] = {}
+    failed: set[str] = set()
     for _sweep in range(2):
         for name, fn in entry.queries().items():
-            if timings.get(name) == -1.0:
+            if name in failed:
                 continue  # failed in sweep 1; don't fail twice
             try:
                 t0 = time.time()
                 _noop_write(fn(spark, sf_dir))
-                wall = time.time() - t0
-                timings[name] = round(min(timings.get(name, wall), wall), 3)
+                samples.setdefault(name, []).append(time.time() - t0)
             except Exception as e:  # record, don't die — but never let a
                 # sweep-2 failure clobber a valid sweep-1 measurement
-                if name not in timings:
-                    timings[name] = -1.0
+                if name not in samples:
+                    failed.add(name)
                 print(f"# bench query {name} failed: {e}", file=sys.stderr)
+            # drop py4j refs so the ContextCleaner can evict the previous
+            # entry's localCheckpoint/persist blocks before the next one is
+            # timed — every entry measures from comparable JVM state
+            gc.collect()
+
+    # adaptive re-measure (r05): on a turbulent host, min-of-2 is not
+    # enough for the long entries — one co-tenant stall window per sweep
+    # leaves BOTH samples inflated (observed: dedup_clusters 12.6s warm
+    # isolated vs 38.8/126.6s recorded in two full bench runs at probe
+    # 0.77-0.82). Any query whose two samples disagree >1.5× AND whose best
+    # is slow enough to matter (>1s) gets up to two more spread samples;
+    # stop early once a repeat lands within 1.5× of the best (stable).
+    def _unstable(vals: list[float]) -> bool:
+        # stable once the SECOND-best sample confirms the best within 1.5×
+        # (two independent samples agreeing ≈ true warm cost); sub-second
+        # queries are never re-measured — noise there is immaterial
+        a, b = sorted(vals)[:2]
+        return a >= 1.0 and b / a > 1.5
+
+    for name, vals in samples.items():
+        if len(vals) < 2 or min(vals) <= 0:
+            continue
+        for _ in range(2):
+            if not _unstable(vals):
+                break
+            try:
+                t0 = time.time()
+                _noop_write(entry.queries()[name](spark, sf_dir))
+                vals.append(time.time() - t0)
+            except Exception as e:
+                print(f"# bench re-measure {name} failed: {e}", file=sys.stderr)
+                break
+            gc.collect()
+        if _unstable(vals):
+            print(
+                f"# bench {name}: samples never stabilized "
+                f"{[round(v, 2) for v in vals]} (host noise); min recorded",
+                file=sys.stderr,
+            )
+
+    timings: dict[str, float] = {n: -1.0 for n in failed}
+    for name, vals in samples.items():
+        timings[name] = round(min(vals), 3)
 
     # two post-sweep samples complete the time-spread best-of-3 (see
     # above); each sample fails INDEPENDENTLY (ADVICE r04: one shared try
