@@ -327,15 +327,21 @@ def connected_components(
     localCheckpoint when executor loss matters). Star-capped LSH output
     (_bucket_pairs) keeps diameters tiny, so typical runs converge in 2-4
     rounds.
+
+    Checkpoints are LAZY (``eager=False``): each round already runs one
+    mandatory action (the convergence count), which materializes that
+    round's checkpoint as a side effect — an eager checkpoint would pay a
+    second job per round purely for scheduling overhead (half the wall on
+    small inputs, where per-job latency dominates).
     """
     fwd = pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
     rev = pairs.select(F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -363,7 +369,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -423,7 +429,16 @@ def ngram_jaccard_pairs(
     sets_ = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s")
     ).withColumn("sz", F.size("s"))
-    toks = sets_.select("id", "sz", F.explode("s").alias("tok"))
+    # Explode the shingle expression INLINE (one Generate over the scan),
+    # never a pre-aliased array column: Generate-over-Project makes
+    # InferFiltersFromGenerate clone the whole shingle tree into a Filter
+    # (size(expr)>0 AND isnotnull(expr)) evaluated per SCAN row — and
+    # higher-order functions are CodegenFallback, so those extra copies run
+    # interpreted (measured 15x: 3.9s vs 0.26s on the sf0.1 verify slice).
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("tok"),
+    )
     if max_token_df is not None:
         hot = (
             toks.groupBy("tok")
@@ -434,19 +449,23 @@ def ngram_jaccard_pairs(
         join_toks = toks.join(hot, "tok", "left_anti")
     else:
         join_toks = toks
-    a = join_toks.select(
-        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok"
-    )
-    b = join_toks.select(
-        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok"
-    )
+    # set sizes stay OUT of the token self-join: the big shuffle carries
+    # (id, tok) only; |set| (one row per doc, shingles are distinct so it
+    # equals the token count) joins onto the candidate-pair aggregate,
+    # which is orders of magnitude smaller than the token join input
+    szs = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = join_toks.select(F.col("id").alias("id_a"), "tok")
+    b = join_toks.select(F.col("id").alias("id_b"), "tok")
     if broadcast_tokens:
         b = F.broadcast(b)
+        szs = F.broadcast(szs)
     inter = (
         a.join(b, "tok")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+        .join(szs.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(szs.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
     )
     if max_token_df is not None:
         # exact verify over FULL sets for the (bounded) candidate pairs
