@@ -90,14 +90,26 @@ def bpe_stream(col: Column, merges: list[tuple[str, str]] | None = None) -> Colu
     return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(enc)
 
 
+def bpe_token_count_from_stream(enc: Column) -> Column:
+    """Token count from an ALREADY-COMPUTED stream column = half its
+    sentinel count. Use this (with ``bpe_stream(...).alias(...)`` in a
+    prior projection) when a query needs the count alongside other
+    stream-derived outputs: the alias is a CollapseProject barrier (a
+    non-cheap expression referenced more than once is never inlined), so
+    the replace chain runs once per row — referencing ``bpe_token_count``
+    and ``bpe_stream`` in one projection evaluates the chain per mention
+    (interpreted projections do no subexpression elimination; measured 3x
+    on the bench corpus)."""
+    return (
+        (F.length(enc) - F.length(F.replace(enc, F.lit(SYM), F.lit("")))) / 2
+    ).cast("int")
+
+
 def bpe_token_count(
     col: Column, merges: list[tuple[str, str]] | None = None
 ) -> Column:
     """Token count = half the sentinel count of the stream. NULL → NULL."""
-    enc = bpe_stream(col, merges)
-    return (
-        (F.length(enc) - F.length(F.replace(enc, F.lit(SYM), F.lit("")))) / 2
-    ).cast("int")
+    return bpe_token_count_from_stream(bpe_stream(col, merges))
 
 
 def bpe_tokens(col: Column, merges: list[tuple[str, str]] | None = None) -> Column:
