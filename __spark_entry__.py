@@ -350,7 +350,7 @@ def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """north_star per-column stats block (exact distinct here so the oracle
     can verify; the engine's approx/HLL variant is q_hll_distinct)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(_t(spark, sf_dir, "lineitem"))
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     aggs = []
     for c in cols:
