@@ -210,3 +210,19 @@ def test_dedup_keepers(corpus):
     # docs 0/1/2 are (near-)identical → keep 0; 3 and 6 are near 0 at 0.6
     assert 0 in ids and 4 in ids and 5 in ids
     assert 1 not in ids and 2 not in ids
+
+
+def test_jaccard_plan_explodes_shingles_inline(corpus):
+    """Regression guard for the InferFiltersFromGenerate pathology: if the
+    shingle array is aliased in a projection and exploded by NAME, the
+    optimizer clones the whole (CodegenFallback) shingle tree into a
+    per-scan-row Filter — measured 15x slower. The fix keeps the shingle
+    expression INLINE in the Generate, so it must appear exactly once in
+    the physical plan (the generator), never in a Filter."""
+    pairs = D.ngram_jaccard_pairs(corpus, n=1, threshold=0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    marker = "array_distinct(transform("
+    assert plan.count(marker) == plan.count("Generate explode(")
+    for line in plan.splitlines():
+        if "Filter " in line:
+            assert marker not in line, "shingle tree cloned into a Filter"
