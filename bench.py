@@ -418,7 +418,7 @@ def run_scaling_interleaved(
             "platform-bound, not plan-bound. Aborting; retry when the probe "
             "clears (set min_host_eff=0 to force)."
         )
-        return
+        return False
 
     servers: dict[int, subprocess.Popen] = {}
     for cpus in (8, 32):
@@ -508,6 +508,7 @@ def run_scaling_interleaved(
             f"{[round(x, 2) for x in probes]}.\n"
         )
     print("appended interleaved scaling section to BENCH/BASELINE.md")
+    return True
 
 
 if __name__ == "__main__":

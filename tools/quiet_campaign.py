@@ -39,8 +39,12 @@ def main() -> int:
         )
         if med >= gate:
             print("gate cleared — launching campaign", flush=True)
-            bench.run_scaling_interleaved(pairs=pairs, min_host_eff=gate)
-            return 0
+            # the campaign re-probes with its own (longer, authoritative)
+            # preflight; if the window closed between poll and launch it
+            # aborts cheaply and we resume polling instead of exiting
+            if bench.run_scaling_interleaved(pairs=pairs, min_host_eff=gate):
+                return 0
+            print("window closed before launch — resuming poll", flush=True)
         if time.monotonic() > deadline:
             # fall back rather than record nothing: run gated at the best
             # level actually observed this session (still >= the 0.7 floor
