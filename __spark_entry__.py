@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ndap_data_validator_spark.operators import drift as drift_mod
@@ -1398,28 +1398,146 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mixture_report(d, alpha=0.3)
 
 
-def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking (operators/pack.py): sliding-window token
-    chunks (max 32, overlap 8) over documents < 200 — shuffle-free
-    projection+generate; DuckDB replays the stride arithmetic and slices."""
-    from ndap_data_validator_spark.operators.pack import chunk_documents
+def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing manifests, BOTH flavors in one method-tagged entry
+    (consolidated r05, cap — funds the render_transcripts slot):
 
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return chunk_documents(d, max_tokens=32, overlap=8)
+    * 'chunk' — sliding-window context chunking (max 32, overlap 8) over
+      documents < 200: shuffle-free projection+generate, DuckDB replays
+      the stride arithmetic and slices (operators/pack.py chunk_documents);
+    * 'pack' — GPT-style concat-and-cut over the no-overlap 32-token
+      chunking: md5-portable shard routing (4 shards), 64-token bins,
+      per-shard running-sum window (pack_manifest).
 
-
-def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style concat-and-cut packing plan over the chunked documents:
-    md5-portable shard routing (4 shards), 64-token bins, per-shard
-    running-sum window — DuckDB replays routing, cumsum, bin/offset/split."""
+    Columns aligned as (method, doc_id, chunk_idx, n_tokens, shard,
+    bin_id, offset, split, chunk_text); chunk rows carry the text and
+    NULL shard/bin/offset/split, pack rows the reverse."""
     from ndap_data_validator_spark.operators.pack import (
         chunk_documents,
         pack_manifest,
     )
 
+    def nl(t: str) -> Column:
+        return F.lit(None).cast(t)
+
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    chunks = chunk_documents(d, max_tokens=32).drop("chunk_text")
-    return pack_manifest(chunks, budget=64, n_shards=4, hash_fn="md5")
+    chunks = chunk_documents(d, max_tokens=32, overlap=8).select(
+        F.lit("chunk").alias("method"),
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        nl("bigint").alias("shard"),
+        nl("bigint").alias("bin_id"),
+        nl("bigint").alias("offset"),
+        nl("boolean").alias("split"),
+        "chunk_text",
+    )
+    packed = pack_manifest(
+        chunk_documents(d, max_tokens=32).drop("chunk_text"),
+        budget=64,
+        n_shards=4,
+        hash_fn="md5",
+    ).select(
+        F.lit("pack").alias("method"),
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        "shard",
+        "bin_id",
+        "offset",
+        "split",
+        nl("string").alias("chunk_text"),
+    )
+    return chunks.unionByName(packed)
+
+
+def q_render_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r05 — chat-template rendering + loss-mask character spans
+    (operators/render.py), the SFT step between transcripts and the
+    packer. Transcripts are synthesized from events exactly like
+    q_sequence_checks (conv_id=user_id, turn_idx=row_number per user by
+    event_id), with a deterministic role rule (turn 1 of every 5th conv
+    is 'system'; odd turns 'user'; even 'assistant') and deterministic
+    text (event_type || ' #' || event_id || ' ' || props). Both report
+    shapes method-tagged in one entry:
+
+    * 'turn' — per-turn span manifest: rendered start offset, the
+      [text_start, text_end) loss span, is_target (completion-only
+      convention: only assistant TEXT is supervised);
+    * 'conv' — per-conversation rollup with the md5 of the ENTIRE
+      rendered string, so the oracle hash-checks the rendering itself,
+      not just the arithmetic.
+
+    ONE window shuffle on the conversation key for spans; the rollup
+    groupBy reuses the same hash partitioning."""
+    from ndap_data_validator_spark.operators.render import (
+        render_conversations,
+        render_turn_spans,
+    )
+
+    def nl(t: str) -> Column:
+        return F.lit(None).cast(t)
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("props").isNotNull()
+        & (F.col("user_id") < 40)
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = e.select(
+        F.col("user_id").alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        "event_type",
+        "event_id",
+        "props",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            (F.col("turn_idx") == 1) & (F.col("conv_id") % 5 == 0),
+            F.lit("system"),
+        )
+        .when(F.col("turn_idx") % 2 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(" #"),
+            F.col("event_id").cast("string"),
+            F.lit(" "),
+            F.col("props"),
+        ).alias("text"),
+    )
+    spans = render_turn_spans(t).select(
+        F.lit("turn").alias("method"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "n_chars",
+        "start_char",
+        "text_start",
+        "text_end",
+        "is_target",
+        nl("bigint").alias("n_turns"),
+        nl("bigint").alias("n_target_chars"),
+        nl("string").alias("rendered_md5"),
+    )
+    convs = render_conversations(t).select(
+        F.lit("conv").alias("method"),
+        "conv_id",
+        nl("int").alias("turn_idx"),
+        nl("string").alias("role"),
+        "n_chars",
+        nl("bigint").alias("start_char"),
+        nl("bigint").alias("text_start"),
+        nl("bigint").alias("text_end"),
+        nl("boolean").alias("is_target"),
+        "n_turns",
+        "n_target_chars",
+        "rendered_md5",
+    )
+    return spans.unionByName(convs)
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,8 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "corpus_mixture": q_corpus_mixture,
         "bpe_encode": q_bpe_encode,
-        "doc_chunks": q_doc_chunks,
-        "pack_manifest": q_pack_manifest,
+        "packing": q_packing,
+        "render_transcripts": q_render_transcripts,
         "pack_nosplit": q_pack_nosplit,
         "frame_sample_plan": q_frame_sample_plan,
         "exact_percentiles": q_exact_percentiles,
@@ -2243,6 +2361,90 @@ def _pack_manifest_oracle_sql(
              CAST(prefix % {budget} AS BIGINT) AS "offset",
              (prefix % {budget} + n_tokens) > {budget} AS split
       FROM c
+    """
+
+
+def _packing_oracle_sql() -> str:
+    """Method-tagged union of both packing manifests with aligned columns —
+    mirrors q_packing's consolidation (r05)."""
+    return f"""
+      SELECT 'chunk' AS method, doc_id, chunk_idx, n_tokens,
+             CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS bin_id,
+             CAST(NULL AS BIGINT) AS "offset", CAST(NULL AS BOOLEAN) AS split,
+             chunk_text
+      FROM ({_doc_chunks_oracle_sql()})
+      UNION ALL
+      SELECT 'pack', doc_id, chunk_idx, n_tokens, shard, bin_id, "offset",
+             split, CAST(NULL AS VARCHAR)
+      FROM ({_pack_manifest_oracle_sql()})
+    """
+
+
+def _sql_text_lit(s: str) -> str:
+    """Render a Python string as a DuckDB expression, splicing newlines in
+    as chr(10) so the SQL source stays one physical line."""
+    parts = ["'" + seg.replace("'", "''") + "'" for seg in s.split("\n")]
+    return "(" + " || chr(10) || ".join(parts) + ")"
+
+
+def _render_transcripts_oracle_sql() -> str:
+    """DuckDB replay of q_render_transcripts: same transcript synthesis,
+    same template affixes (operators/render.py PRE/MID/SUF), prefix-sum
+    span arithmetic, and md5 over string_agg(... ORDER BY turn_idx)."""
+    from ndap_data_validator_spark.operators.render import MID, PRE, SUF
+
+    pre_n, mid_n, suf_n = len(PRE), len(MID), len(SUF)
+    pre_e, mid_e, suf_e = (_sql_text_lit(x) for x in (PRE, MID, SUF))
+    return f"""
+      WITH e AS (
+        SELECT * FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND props IS NOT NULL AND user_id < 40),
+      t0 AS (
+        SELECT user_id AS conv_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS INT) AS turn_idx,
+               event_type, event_id, props
+        FROM e),
+      t AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN turn_idx = 1 AND conv_id % 5 = 0 THEN 'system'
+                    WHEN turn_idx % 2 = 1 THEN 'user'
+                    ELSE 'assistant' END AS role,
+               event_type || ' #' || CAST(event_id AS VARCHAR) || ' ' || props
+                 AS text
+        FROM t0),
+      r AS (
+        SELECT conv_id, turn_idx, role, text,
+               CAST({pre_n + mid_n + suf_n} + length(role) + length(text)
+                    AS BIGINT) AS n_chars,
+               {pre_e} || role || {mid_e} || text || {suf_e} AS rendered_turn
+        FROM t),
+      s AS (
+        SELECT *,
+               SUM(n_chars) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_chars AS start_char
+        FROM r)
+      SELECT 'turn' AS method, conv_id, turn_idx, role, n_chars,
+             CAST(start_char AS BIGINT) AS start_char,
+             CAST(start_char + {pre_n + mid_n} + length(role) AS BIGINT)
+               AS text_start,
+             CAST(start_char + {pre_n + mid_n} + length(role) + length(text)
+                  AS BIGINT) AS text_end,
+             role = 'assistant' AS is_target,
+             CAST(NULL AS BIGINT) AS n_turns,
+             CAST(NULL AS BIGINT) AS n_target_chars,
+             CAST(NULL AS VARCHAR) AS rendered_md5
+      FROM s
+      UNION ALL
+      SELECT 'conv', conv_id, NULL, NULL, CAST(SUM(n_chars) AS BIGINT),
+             NULL, NULL, NULL, NULL,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN role = 'assistant'
+                                    THEN length(text) END), 0) AS BIGINT),
+             md5(string_agg(rendered_turn, '' ORDER BY turn_idx))
+      FROM s GROUP BY conv_id
     """
 
 
@@ -3116,8 +3318,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "corpus_mixture": _corpus_mixture_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
-        "doc_chunks": _doc_chunks_oracle_sql(),
-        "pack_manifest": _pack_manifest_oracle_sql(),
+        "packing": _packing_oracle_sql(),
+        "render_transcripts": _render_transcripts_oracle_sql(),
         "pack_nosplit": _pack_nosplit_oracle_sql(),
         "decontamination": _decontamination_oracle_sql(),
         "repeated_ngrams": _repeated_ngrams_oracle_sql(),

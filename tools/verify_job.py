@@ -631,5 +631,31 @@ assert skew["psi_cat"] > flat["psi_cat"], (skew, flat)
 print(f"categorical drift: flat psi {flat['psi_cat']:.5f} "
       f"skewed psi {skew['psi_cat']:.5f} over {flat['n_categories']} roles")
 
+from ndap_data_validator_spark.operators.render import (
+    render_conversations,
+    render_turn_spans,
+)
+
+# chat-template rendering on the generated transcripts: every turn's
+# [text_start, text_end) span must slice its raw text back out of the
+# rendered conversation, and only assistant turns are loss targets
+conv_slice = df.where(F.substring("conv_id", 1, 9) == "conv-0000").select(
+    "conv_id", "turn_idx", "role", F.coalesce("text", F.lit("")).alias("text")
+).dropDuplicates(["conv_id", "turn_idx"])
+rendered = {r["conv_id"]: r["rendered"]
+            for r in render_conversations(conv_slice).collect()}
+raw = {(r["conv_id"], r["turn_idx"]): r["text"] for r in conv_slice.collect()}
+spans = render_turn_spans(conv_slice).collect()
+assert spans and len(spans) == len(raw)
+bad = [r for r in spans
+       if rendered[r["conv_id"]][r["text_start"]:r["text_end"]]
+       != raw[(r["conv_id"], r["turn_idx"])]]
+assert not bad, bad[:3]
+n_target = sum(1 for r in spans if r["is_target"])
+assert 0 < n_target < len(spans)
+assert all((r["role"] == "assistant") == r["is_target"] for r in spans)
+print(f"render: {len(rendered)} convs, {len(spans)} turns, "
+      f"{n_target} target spans all slice back to their raw text")
+
 print("JOB OK")
 spark.stop()
