@@ -63,6 +63,12 @@ def unigram_lm(
     counts = _tokens(reference, text_col, None).groupBy("token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # Materialize the vocabulary counts ONCE: `consts` and `lm` both get
+    # broadcast downstream, and each broadcast would otherwise re-run the
+    # whole reference-corpus token explode+groupBy. The checkpointed frame
+    # is vocabulary-sized — exactly the artifact a production run persists
+    # as the model.
+    counts = counts.localCheckpoint()
     consts = counts.agg(
         F.sum("cnt").alias("total_tokens"),
         F.count(F.lit(1)).alias("vocab_size"),

@@ -92,6 +92,11 @@ def train_quality_classifier(
         F.sum(F.col("__y").cast("long")).alias("cpos"),
         F.sum((~F.col("__y")).cast("long")).alias("cneg"),
     )
+    # Materialize the ≤ n_buckets count table ONCE: `totals` (via the
+    # consts broadcast inside `weights`) and the scorer's broadcast of
+    # `weights`/`consts` would each re-run the labeled-corpus token
+    # explode+groupBy otherwise — three training passes for one model.
+    counts = counts.localCheckpoint()
     totals = counts.agg(
         F.sum("cpos").alias("tpos"), F.sum("cneg").alias("tneg")
     )

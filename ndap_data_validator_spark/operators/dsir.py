@@ -132,6 +132,13 @@ def fit_importance_weights(
         F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
         F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
     )
+    # Materialize the bucket-count table (≤ n_buckets rows) ONCE. Both
+    # derived frames below — `weights` and `consts` — are broadcast by the
+    # scorer, and each broadcast would otherwise re-run the whole fit:
+    # two explode→groupBy passes over BOTH corpora per consumer. At 100 TB
+    # that re-explodes the raw token stream three times for one fit; the
+    # checkpoint caps it at exactly one pass.
+    joined = joined.localCheckpoint()
     a, b = F.lit(float(alpha)), F.lit(float(alpha * n_buckets))
     consts = joined.agg(
         F.sum("cnt_t").alias("total_target"),
