@@ -596,6 +596,34 @@ assert kept_neg < n_kept * 0.1, (kept_neg, n_kept)  # kept set is ~all target-li
 print(f"dsir: kept {n_kept}/{n_all}, {kept_neg} mangled survivors; "
       f"mean log_w pos {means[False]:.2f} vs neg {means[True]:.2f}")
 
+from ndap_data_validator_spark.operators.order import training_order
+
+# training-order manifest: wiki x2.5 / web x1.0 epoch plan over the docs
+# frame — exact copy counts for the integer part, ~half the wiki docs get
+# the fractional third copy, and the range-ordered stream interleaves both
+# sources in its first slice.
+ord_docs = pos.select(
+    "doc_id",
+    F.when(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0, "wiki")
+    .otherwise("web")
+    .alias("source"),
+)
+n_wiki = ord_docs.where(F.col("source") == "wiki").count()
+manifest = training_order(
+    ord_docs, {"wiki": 2.5, "web": 1.0}, order_partitions=4
+)
+per = {
+    r["source"]: (r["n"], r["docs"])
+    for r in manifest.groupBy("source")
+    .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("docs"))
+    .collect()
+}
+assert per["wiki"][1] == n_wiki and 2 * n_wiki <= per["wiki"][0] <= 3 * n_wiki
+head = manifest.orderBy("order_key").limit(50).select("source").distinct().count()
+assert head == 2, "ordered stream must interleave both sources"
+print(f"training order: wiki {per['wiki'][0]} copies of {n_wiki} docs "
+      f"(x2.5 plan), web {per['web'][0]}; interleaved head ok")
+
 from ndap_data_validator_spark.operators.convchecks import (
     sequence_checks,
     sequence_report,
