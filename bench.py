@@ -236,6 +236,27 @@ def run_default() -> None:
             headline_walls.append(_throughput_job(spark, BENCH_TURNS))
         except Exception as e:
             print(f"# bench throughput job failed: {e}", file=sys.stderr)
+    # the headline gets the same adaptive re-measure as the sweep entries:
+    # on a turbulent host every one of the three spread samples can land in
+    # a distinct stall window (observed [101.6, 13.1, 86.2] for a job whose
+    # warm cost is ~4s) — keep sampling until the second-best confirms the
+    # best within 1.5×, up to three extras
+    for _ in range(3):
+        if len(headline_walls) < 2 or not _unstable(headline_walls):
+            break
+        try:
+            headline_walls.append(_throughput_job(spark, BENCH_TURNS))
+        except Exception as e:
+            print(f"# bench headline re-measure failed: {e}", file=sys.stderr)
+            break
+        gc.collect()
+    if len(headline_walls) >= 2 and _unstable(headline_walls):
+        print(
+            f"# bench headline: samples never stabilized "
+            f"{[round(w, 2) for w in headline_walls]} (host noise); "
+            "min recorded",
+            file=sys.stderr,
+        )
     if headline_walls:
         wall = min(headline_walls)
         turns_per_sec = BENCH_TURNS / wall
