@@ -60,9 +60,11 @@ def training_order(
     manifest with the key only — e.g. when the packer's shard routing
     supersedes the total order.
     """
+    from ndap_data_validator_spark.session import literal_frame
+
     rows = [(s, float(e)) for s, e in epochs.items()]
-    plan = docs.sparkSession.createDataFrame(
-        rows, f"{source_col} string, __epochs double"
+    plan = literal_frame(
+        docs.sparkSession, rows, f"{source_col} string, __epochs double"
     )
     ex = docs.join(F.broadcast(plan), source_col, "left").withColumn(
         "__epochs", F.coalesce("__epochs", F.lit(1.0))

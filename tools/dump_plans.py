@@ -109,6 +109,20 @@ def _jaccard(spark, df):
     return ngram_jaccard_pairs(docs, id_col="doc_id", n=3, threshold=0.5)
 
 
+def _training_order(spark, df):
+    from ndap_data_validator_spark.operators.order import training_order
+
+    docs = df.where(F.col("turn_idx") == 0).select(
+        F.col("conv_id").alias("doc_id"),
+        F.when(F.col("tool").isNotNull(), "tooled").otherwise("plain").alias(
+            "source"
+        ),
+    )
+    return training_order(
+        docs, {"tooled": 2.5, "plain": 1.0}, order_partitions=8
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="dump-plans", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -331,6 +345,17 @@ def main() -> None:
             "corpus is never shuffled to be scored — its only exchange "
             "is the per-doc partial-aggregated sum. Gumbel priority is a "
             "scan-level expression on the result.",
+        ),
+        (
+            "Training-order manifest (epoch explode + range-ordered stream)",
+            _training_order(spark, df),
+            "The epoch plan rides a broadcast join (plan table is "
+            "source-count-sized); the copy expansion is a scan-level "
+            "Generate over sequence(0, n_copies-1) with the fractional "
+            "epoch a pure hash-gate predicate — no shuffle to expand. The "
+            "only exchange is the final repartitionByRange on the hash "
+            "order key (Spark samples range bounds), so the global "
+            "training order never funnels through one reducer.",
         ),
         (
             "Exact n-gram Jaccard verify (inline Generate, sizes post-agg)",
