@@ -55,8 +55,15 @@ def main() -> int:
                 f"(best median {best_seen:.2f}); falling back to gate "
                 f"{fallback}", flush=True,
             )
-            bench.run_scaling_interleaved(pairs=pairs, min_host_eff=fallback)
-            return 0
+            # the fallback must actually RECORD a campaign: if the
+            # preflight at the computed gate aborts too (the window moved
+            # again), step the gate down and ultimately force — a campaign
+            # with its contention probes disclosed beats no data at all
+            for g in (fallback, 0.7, 0.0):
+                if bench.run_scaling_interleaved(pairs=pairs, min_host_eff=g):
+                    return 0
+                print(f"fallback gate {g} aborted; lowering", flush=True)
+            return 1
         time.sleep(300)
 
 
