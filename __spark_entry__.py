@@ -732,11 +732,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detect + redact over documents with injected spans (emails / IPs
-    / phones planted by doc_id so both engines see identical inputs);
-    oracle replays the same Java∩RE2 patterns and redaction order."""
+def q_text_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH scan-level text gates, long form (consolidated r05 #2 to fund
+    the key_skew slot, cap; was ``pii_scrub`` + ``url_domain_filter``),
+    columns aligned as (gate, doc_id, n_matches, detail):
+
+    * 'pii_email' / 'pii_ipv4' / 'pii_phone' — per-kind match counts over
+      documents with injected spans (planted by doc_id so both engines see
+      identical inputs); 'pii_redact' carries the total match count and the
+      md5 of the redacted text (the REWRITE is what's verified). Java∩RE2
+      patterns, ordered redaction — one projection, zero shuffles.
+    * 'url_keep' — domain-blocklist survivors (URLs planted on every 5th
+      document, two domains blocked): n_matches = n_urls, detail = sorted
+      extracted domains. Extraction and the gate are one scan-level
+      projection+filter, no shuffle."""
     from ndap_data_validator_spark.functions.pii import pii_count, redact_pii
+    from ndap_data_validator_spark.functions.urls import (
+        domain_blocklist_filter,
+        extract_domains,
+        extract_urls,
+    )
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     injected = d.select(
@@ -753,13 +768,79 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     t = F.col("text")
-    return injected.select(
+    counted = injected.select(
         "doc_id",
         pii_count(t, "email").alias("n_emails"),
         pii_count(t, "ipv4").alias("n_ipv4"),
         pii_count(t, "phone").alias("n_phones"),
         F.md5(redact_pii(t)).alias("redacted_md5"),
     )
+    gates = F.array(
+        F.struct(
+            F.lit("pii_email").alias("gate"),
+            F.col("n_emails").alias("n_matches"),
+            F.lit(None).cast("string").alias("detail"),
+        ),
+        F.struct(
+            F.lit("pii_ipv4").alias("gate"),
+            F.col("n_ipv4").alias("n_matches"),
+            F.lit(None).cast("string").alias("detail"),
+        ),
+        F.struct(
+            F.lit("pii_phone").alias("gate"),
+            F.col("n_phones").alias("n_matches"),
+            F.lit(None).cast("string").alias("detail"),
+        ),
+        F.struct(
+            F.lit("pii_redact").alias("gate"),
+            (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")).alias(
+                "n_matches"
+            ),
+            F.col("redacted_md5").alias("detail"),
+        ),
+    )
+    pii_rows = counted.select(
+        "doc_id", F.explode(gates).alias("g")
+    ).select("g.gate", "doc_id", "g.n_matches", "g.detail")
+
+    du = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    with_urls = du.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see http://site-"),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit(".example.com/page?x=1 ok"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    kept = domain_blocklist_filter(
+        with_urls, ["site-3.example.com", "site-7.example.com"]
+    )
+    url_rows = kept.select(
+        F.lit("url_keep").alias("gate"),
+        "doc_id",
+        F.size(extract_urls(F.col("text"))).alias("n_matches"),
+        F.concat_ws(",", F.array_sort(extract_domains(F.col("text")))).alias(
+            "detail"
+        ),
+    )
+    return pii_rows.unionByName(url_rows)
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew / heavy-hitter report (NEW r05) over the derived transcript
+    frame's conversation key — the diagnostic that feeds
+    ``plans.pipeline.salt_repartition`` and AQE skew handling (the
+    north-star brief's skewed-conversations clause). Top-10 heaviest
+    conv_ids with share-of-corpus and the distribution's max/mean skew
+    factor; counts = ONE map-side-combined shuffle, top-N =
+    TakeOrderedAndProject (never a global sort)."""
+    from ndap_data_validator_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_derived(spark, sf_dir), "conv_id", top_n=10)
 
 
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,42 +1023,6 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate_n=8, seed=42, hash_fn="md5",
     )
     return funnel
-
-
-def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-blocklist corpus filter: URLs planted deterministically on
-    every 5th document (both engines replay the construction), two domains
-    blocked, survivors report their extracted domains — extraction and the
-    gate are one scan-level projection+filter, no shuffle."""
-    from ndap_data_validator_spark.functions.urls import (
-        domain_blocklist_filter,
-        extract_domains,
-        extract_urls,
-    )
-
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    with_urls = d.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" see http://site-"),
-                (F.col("doc_id") % 13).cast("string"),
-                F.lit(".example.com/page?x=1 ok"),
-            ),
-        ).otherwise(F.col("text")).alias("text"),
-    )
-    kept = domain_blocklist_filter(
-        with_urls, ["site-3.example.com", "site-7.example.com"]
-    )
-    return kept.select(
-        "doc_id",
-        F.size(extract_urls(F.col("text"))).alias("n_urls"),
-        F.concat_ws(",", F.array_sort(extract_domains(F.col("text")))).alias(
-            "domains_csv"
-        ),
-    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1679,12 +1724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": q_repeated_ngrams,
         "csv_events_rollup": q_csv_events_rollup,
         "dedup_clusters": q_dedup_clusters,
-        "pii_scrub": q_pii_scrub,
+        "text_gates": q_text_gates,
+        "key_skew": q_key_skew,
         "sessionization": q_sessionization,
         "sampling": q_sampling,
         "decontamination": q_decontamination,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "url_domain_filter": q_url_domain_filter,
         "curation_funnel": q_curation_funnel,
         "lm_cross_entropy": q_lm_cross_entropy,
         "quality_classifier": q_quality_classifier,
@@ -1892,12 +1937,16 @@ def _decontamination_fuzzy_oracle_sql(
     """
 
 
-def _pii_scrub_oracle_sql() -> str:
+def _text_gates_oracle_sql() -> str:
+    """DuckDB replay of q_text_gates: the pii leg unpivoted to one row per
+    (doc_id, gate) plus the url_keep survivor leg, columns aligned as
+    (gate, doc_id, n_matches, detail)."""
     from ndap_data_validator_spark.functions.pii import (
         pii_count_sql,
         redact_pii_sql,
     )
 
+    url_leg = _url_gate_oracle_sql()
     return f"""
       WITH d AS (
         SELECT doc_id,
@@ -1906,13 +1955,27 @@ def _pii_scrub_oracle_sql() -> str:
                  WHEN 1 THEN ' from 10.1.2.3 logged'
                  WHEN 2 THEN ' call +1 (415) 555-0199 today'
                  ELSE '' END AS text
-        FROM documents WHERE doc_id < 200)
-      SELECT doc_id,
-             CAST({pii_count_sql('text', 'email')} AS INT) AS n_emails,
-             CAST({pii_count_sql('text', 'ipv4')} AS INT) AS n_ipv4,
-             CAST({pii_count_sql('text', 'phone')} AS INT) AS n_phones,
-             md5({redact_pii_sql('text')}) AS redacted_md5
-      FROM d
+        FROM documents WHERE doc_id < 200),
+      counted AS (
+        SELECT doc_id,
+               CAST({pii_count_sql('text', 'email')} AS INT) AS n_emails,
+               CAST({pii_count_sql('text', 'ipv4')} AS INT) AS n_ipv4,
+               CAST({pii_count_sql('text', 'phone')} AS INT) AS n_phones,
+               md5({redact_pii_sql('text')}) AS redacted_md5
+        FROM d)
+      SELECT 'pii_email' AS gate, doc_id, n_emails AS n_matches,
+             CAST(NULL AS VARCHAR) AS detail FROM counted
+      UNION ALL
+      SELECT 'pii_ipv4', doc_id, n_ipv4, CAST(NULL AS VARCHAR) FROM counted
+      UNION ALL
+      SELECT 'pii_phone', doc_id, n_phones, CAST(NULL AS VARCHAR) FROM counted
+      UNION ALL
+      SELECT 'pii_redact', doc_id, n_emails + n_ipv4 + n_phones,
+             redacted_md5 FROM counted
+      UNION ALL
+      SELECT * FROM (
+        {url_leg}
+      ) url_leg
     """
 
 
@@ -1962,7 +2025,7 @@ def _ann_ivf_oracle_sql(
     """
 
 
-def _url_domain_filter_oracle_sql() -> str:
+def _url_gate_oracle_sql() -> str:
     from ndap_data_validator_spark.functions.urls import URL_PATTERN
 
     pat = URL_PATTERN.replace("'", "''")
@@ -1997,10 +2060,10 @@ def _url_domain_filter_oracle_sql() -> str:
                     ELSE text END AS text
         FROM documents WHERE doc_id < 500),
       x AS (SELECT doc_id, text, {dom} AS domains FROM d)
-      SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_urls,
+      SELECT 'url_keep' AS gate, doc_id,
+             CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_matches,
              COALESCE(array_to_string(list_sort(domains), ','), '')
-               AS domains_csv  -- DuckDB: array_to_string([]) is NULL
+               AS detail  -- DuckDB: array_to_string([]) is NULL
       FROM x
       WHERE len(list_filter(domains, h -> {hit})) = 0
     """
@@ -3324,7 +3387,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup_clusters,
         "sessionization": sessionization,
         "sampling": sampling,
-        "url_domain_filter": _url_domain_filter_oracle_sql(),
         "curation_funnel": _curation_funnel_oracle_sql(),
         "lm_cross_entropy": _lm_cross_entropy_oracle_sql(),
         "quality_classifier": _quality_classifier_oracle_sql(),
@@ -3368,7 +3430,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, term, tf, df, tfidf, bm25, "rank"
           FROM r WHERE "rank" <= 3
         """,
-        "pii_scrub": _pii_scrub_oracle_sql(),
+        "text_gates": _text_gates_oracle_sql(),
+        "key_skew": f"""
+          WITH d AS ({DERIVED_SQL}),
+          c AS (SELECT conv_id AS key, COUNT(*) AS n_rows
+                FROM d GROUP BY conv_id),
+          s AS (SELECT COUNT(*) AS n_keys, SUM(n_rows) AS total,
+                       MAX(n_rows) AS mx FROM c),
+          t AS (SELECT key, n_rows,
+                       CAST(ROW_NUMBER() OVER (
+                         ORDER BY n_rows DESC, key ASC) AS INT) AS rank
+                FROM c ORDER BY n_rows DESC, key ASC LIMIT 10)
+          SELECT t.key, t.n_rows, t.rank,
+                 ROUND(CAST(t.n_rows AS DOUBLE) / s.total, 6) AS share,
+                 s.n_keys,
+                 ROUND(CAST(s.mx AS DOUBLE) * s.n_keys / s.total, 6)
+                   AS skew_factor
+          FROM t, s
+        """,
         "ann_ivf": _ann_ivf_oracle_sql(),
         "embedding_neardup": f"""
           WITH e AS (

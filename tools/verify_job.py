@@ -685,5 +685,19 @@ assert all((r["role"] == "assistant") == r["is_target"] for r in spans)
 print(f"render: {len(rendered)} convs, {len(spans)} turns, "
       f"{n_target} target spans all slice back to their raw text")
 
+from ndap_data_validator_spark.operators.skew import key_skew_report
+
+# key-skew diagnostic on the generated transcripts: the generator's hot
+# conversation (conv-000000, ~10k turns) must surface as the rank-1 heavy
+# hitter with a skew factor well above uniform — exactly the case where a
+# production run would reach for salt_repartition
+skew_rows = key_skew_report(df, "conv_id", top_n=5).collect()
+assert skew_rows[0]["key"] == "conv-000000", skew_rows[0]
+assert skew_rows[0]["rank"] == 1
+assert skew_rows[0]["skew_factor"] > 10, skew_rows[0]["skew_factor"]
+assert abs(sum(r["share"] for r in skew_rows)) < 1.0
+print(f"key skew: top={skew_rows[0]['key']} n={skew_rows[0]['n_rows']} "
+      f"share={skew_rows[0]['share']} factor={skew_rows[0]['skew_factor']}")
+
 print("JOB OK")
 spark.stop()
