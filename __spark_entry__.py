@@ -578,8 +578,18 @@ def q_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pulled back 720h (creates regressions, and 500h+ recovery gaps after
     them). ONE window shuffle on the conversation key computes all four
     checks in the same projection (lag ts/role), unpivoted via
-    array_compact+explode — no per-check pass."""
+    array_compact+explode — no per-check pass.
+
+    PLUS (late r05) the row-level CHECK-constraint family
+    (rules.model.CheckRule → operators/checks.py): two cross-column rules
+    over the same frame — 'value_cap' (value <= 400) and 'error_low_value'
+    (role <> 'error' OR value < 100) — standard-SQL CHECK semantics (only
+    definite FALSE violates; NULL passes), evaluated in one scan-level
+    projection with ZERO shuffles; rows union under the same
+    (conv_id, turn_idx, check) contract."""
+    from ndap_data_validator_spark.operators.checks import check_violations
     from ndap_data_validator_spark.operators.convchecks import sequence_checks
+    from ndap_data_validator_spark.rules.model import CheckRule
 
     e = _t(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
@@ -598,8 +608,9 @@ def q_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("ts"))
         .alias("ts"),
         "event_id",
+        "value",
     ).where(F.col("event_id") % 7 != 0)
-    return sequence_checks(
+    seq = sequence_checks(
         t,
         key_col="conv_id",
         order_col="turn_idx",
@@ -608,6 +619,15 @@ def q_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected_step=1,
         max_gap_sec=500 * 3600,
     )
+    chk = check_violations(
+        t,
+        [
+            CheckRule("value_cap", "value <= 400"),
+            CheckRule("error_low_value", "role <> 'error' OR value < 100"),
+        ],
+        key_cols=("conv_id", "turn_idx"),
+    )
+    return seq.unionByName(chk)
 
 
 def q_dtype_coercion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3035,7 +3055,8 @@ def oracle_sql() -> dict[str, str]:
                event_type AS role,
                CASE WHEN event_id % 11 = 0 THEN ts - INTERVAL 720 HOUR
                     ELSE ts END AS ts,
-               event_id
+               event_id,
+               value
         FROM e),
       t2 AS (SELECT * FROM t WHERE event_id % 7 != 0),
       l AS (
@@ -3053,6 +3074,12 @@ def oracle_sql() -> dict[str, str]:
         FROM l WHERE ts > pts + INTERVAL 500 HOUR
       UNION ALL
       SELECT conv_id, turn_idx, 'role_repeat' FROM l WHERE role = prole
+      UNION ALL
+      SELECT conv_id, turn_idx, 'value_cap'
+        FROM t2 WHERE (value <= 400) IS FALSE
+      UNION ALL
+      SELECT conv_id, turn_idx, 'error_low_value'
+        FROM t2 WHERE (role <> 'error' OR value < 100) IS FALSE
     """
 
     ri_orphans = """

@@ -69,6 +69,7 @@ def run_validation(
     watermark_col: str | None = None,
     compact_max_files: int | None = 256,
     sequence_rule=None,
+    check_rules: list | None = None,
 ) -> RunOutcome:
     """Checkpointed validation run.
 
@@ -108,6 +109,11 @@ def run_validation(
     north_rule's per-conversation layout is); partitioning that splits a
     conversation across resume slices would make lag() see a truncated
     history for the boundary turn.
+
+    ``check_rules`` (optional list of ``rules.model.CheckRule``) writes
+    row-level CHECK-constraint violations to
+    ``{report_path}/check_violations`` — one scan-level projection, no
+    shuffle; ``order_by`` columns identify the violating rows.
     """
     if load_mode not in LOAD_MODES:
         raise ValueError(f"load_mode must be one of {LOAD_MODES}")
@@ -219,6 +225,23 @@ def run_validation(
                 carry_cols=("__part_id",),
             ).withColumnRenamed("__part_id", "partition_id")
             _write_partitioned(seq_v, f"{report_path}/sequence_violations")
+        if check_rules:
+            # row-level CHECK constraints (rules.model.CheckRule): pure
+            # scan-level projection over the SAME resume slice — no
+            # shuffle; rows land with the identical partition/overwrite
+            # semantics so resume and delta retries replace only their own
+            from ndap_data_validator_spark.operators.checks import (
+                check_violations,
+            )
+
+            key_cols = order_by or []
+            chk_v = check_violations(
+                remaining.withColumn("__part_id", key),
+                check_rules,
+                key_cols=key_cols,
+                carry_cols=("__part_id",),
+            ).withColumnRenamed("__part_id", "partition_id")
+            _write_partitioned(chk_v, f"{report_path}/check_violations")
 
     # Checkpoint metrics are assembled DISTRIBUTED: per-column stats fold to
     # a map per partition, join the summary, and to_json builds the record —

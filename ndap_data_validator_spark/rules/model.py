@@ -115,6 +115,26 @@ class SequenceRule:
 
 
 @dataclass(frozen=True)
+class CheckRule:
+    """Generic row-level CHECK constraint — a named SQL boolean expression
+    over any columns of the frame (the cross-column class the per-column
+    rules can't express: "a tool turn must name a tool", "end >= start").
+    Standard-SQL CHECK semantics: a row violates only when the expression
+    is definitively FALSE; NULL (unknown) passes, so nullability stays the
+    notNull rule's job. Compiled by ``operators/checks.py`` into one
+    scan-level projection (violations) or one aggregate (summary) — never
+    a shuffle. Engine scope: the reference's rules are per-column
+    (utils/validation.py); symmetric with SequenceRule."""
+
+    name: str
+    expression: str
+
+    def __post_init__(self) -> None:
+        if not self.name or not self.expression:
+            raise ValueError("CheckRule needs a name and a SQL expression")
+
+
+@dataclass(frozen=True)
 class ReferentialRule:
     """Referential integrity: every non-null ``column`` value must exist in
     ``ref_table_name.ref_column`` (violations = left-anti join)."""

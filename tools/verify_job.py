@@ -685,6 +685,37 @@ assert all((r["role"] == "assistant") == r["is_target"] for r in spans)
 print(f"render: {len(rendered)} convs, {len(spans)} turns, "
       f"{n_target} target spans all slice back to their raw text")
 
+from ndap_data_validator_spark.operators.checks import (
+    check_summary,
+    check_violations,
+)
+from ndap_data_validator_spark.rules.model import CheckRule
+
+# row-level CHECK constraints on the generated transcripts: summary counts
+# must agree with the violation rows; turn_nonneg must CATCH the
+# generator's injected negative turn_idx rows, and a satisfied
+# relationship must pass
+chk_rules = [
+    CheckRule("turn_nonneg", "turn_idx >= 0"),
+    CheckRule("turn_bounded", "turn_idx IS NULL OR abs(turn_idx) < 100000"),
+]
+chk_sum = {r["check"]: r for r in check_summary(df, chk_rules).collect()}
+chk_vio = {
+    r["check"]: r["count"]
+    for r in check_violations(df, chk_rules, key_cols=("conv_id", "turn_idx"))
+    .groupBy("check")
+    .count()
+    .collect()
+}
+for _name, _row in chk_sum.items():
+    assert _row["n_violations"] == chk_vio.get(_name, 0), (_name, _row)
+    assert _row["n_violations"] + _row["n_passed"] == df.count()
+assert not chk_sum["turn_nonneg"]["passed"]  # injected negative turns
+assert chk_sum["turn_nonneg"]["n_violations"] > 0
+assert chk_sum["turn_bounded"]["passed"]
+print(f"check rules: {chk_sum['turn_nonneg']['n_violations']} injected "
+      f"negative turns caught, turn_bounded passed")
+
 from ndap_data_validator_spark.operators.skew import key_skew_report
 
 # key-skew diagnostic on the generated transcripts: the generator's hot
