@@ -369,6 +369,50 @@ def main() -> None:
             "aggregate, which is orders of magnitude smaller than the "
             "token stream.",
         ),
+        (
+            "Key-skew heavy-hitter report (TakeOrdered, no global sort)",
+            (lambda sk: sk.key_skew_report(df, "conv_id", top_n=5))(
+                __import__(
+                    "ndap_data_validator_spark.operators.skew",
+                    fromlist=["s"],
+                )
+            ),
+            "Per-key counts are one map-side-combined shuffle, "
+            "localCheckpoint'ed because two consumers (top-N, stats row) "
+            "would each re-run the corpus shuffle otherwise. Top-N plans "
+            "as TakeOrderedAndProject — per-task n-row heaps merged on "
+            "the driver, never an Exchange rangepartitioning — and the "
+            "1-row stats aggregate rides a BroadcastNestedLoopJoin onto "
+            "≤ top_n rows. The only Sort is inside the ≤ top_n-row "
+            "window stage.",
+        ),
+        (
+            "Row-level CHECK constraints (scan-level, zero shuffles)",
+            (lambda ck, cr: ck.check_violations(
+                df,
+                [
+                    cr("turn_nonneg", "turn_idx >= 0"),
+                    cr("text_or_tool",
+                       "text IS NOT NULL OR tool IS NOT NULL"),
+                ],
+                key_cols=("conv_id", "turn_idx"),
+            ))(
+                __import__(
+                    "ndap_data_validator_spark.operators.checks",
+                    fromlist=["c"],
+                ),
+                __import__(
+                    "ndap_data_validator_spark.rules.model",
+                    fromlist=["m"],
+                ).CheckRule,
+            ),
+            "Every rule expression evaluates inside the same whole-stage-"
+            "codegen projection over the scan (array_compact + Generate "
+            "explode); violation rows are a Filter on the array size. NO "
+            "Exchange anywhere in the plan — the family costs one shared "
+            "pass regardless of rule count, and the summary variant is "
+            "the same expressions under ONE partial-aggregated agg.",
+        ),
     ]
 
     out = [
