@@ -302,3 +302,55 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     rows = spark.sql("SELECT conv_id, turn_idx FROM deduped").collect()
     keys = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
     assert keys == [("c1", 0), ("c1", 1), ("c2", 0), ("c3", 0)]
+
+
+def test_check_rules_stream_equals_batch(spark, tmp_path):
+    """CHECK constraints are a stateless scan-level projection, so the SAME
+    check_violations call runs unchanged on a streaming frame (no
+    watermark, no state) — micro-batched violations must equal the batch
+    run over the full input."""
+    from ndap_data_validator_spark.operators.checks import check_violations
+    from ndap_data_validator_spark.rules.model import CheckRule
+
+    rules = [
+        CheckRule("end_ge_start", "e >= s"),
+        CheckRule("tool_named", "role <> 'tool' OR tool IS NOT NULL"),
+    ]
+    src = str(tmp_path / "csrc")
+    f1 = [(1, 0, 5, "user", None), (2, 9, 3, "user", None)]   # range viol
+    f2 = [(3, 1, 2, "tool", None), (4, None, 2, "tool", "t")]  # tool viol;
+    # row 4's NULL s must PASS end_ge_start (SQL CHECK admits unknown)
+    for rows in [f1, f2]:
+        spark.createDataFrame(
+            rows, "id int, s int, e int, role string, tool string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "id int, s int, e int, role string, tool string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        check_violations(stream, rules, key_cols=("id",))
+        .writeStream.format("memory")
+        .queryName("chk_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["id"], r["check"])
+        for r in spark.sql("SELECT * FROM chk_stream").collect()
+    )
+    expected = sorted(
+        (r["id"], r["check"])
+        for r in check_violations(
+            spark.read.parquet(src), rules, key_cols=("id",)
+        ).collect()
+    )
+    assert got == expected == [(2, "end_ge_start"), (3, "tool_named")]
