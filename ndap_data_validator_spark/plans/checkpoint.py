@@ -220,6 +220,11 @@ class CheckpointStore:
     def run_log(self, run_id: str) -> DataFrame:
         return self._read().where(F.col("run_id") == run_id)
 
+    def run_log_all(self) -> DataFrame:
+        """Every record across all runs — the input for cross-run
+        inspection (``plans.anomaly.metrics_anomalies``)."""
+        return self._read()
+
     # ------------------------------------------------------------- compaction
 
     def compact(self) -> int:

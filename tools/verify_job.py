@@ -306,6 +306,21 @@ kept = cstore.compact()
 assert cstore.file_count() == 1 and kept > 0
 print("checkpoint compaction:", fb, "files ->", cstore.file_count())
 
+# cross-run metrics anomalies over a planted checkpoint history: 4 stable
+# runs then a row-count jump in partition p1 must flag, p2 must not
+from ndap_data_validator_spark.plans.anomaly import metrics_anomalies
+
+astore = _CS(spark, f"{dbase}/anom")
+for _run, _p1 in [("r1", 98), ("r2", 100), ("r3", 102), ("r4", 100)]:
+    astore.mark_done_bulk(_run, "d", {"p1": {"rows": _p1},
+                                      "p2": {"rows": 50}})
+astore.mark_done_bulk("cur", "d", {"p1": {"rows": 200}, "p2": {"rows": 50}})
+anom = {r["partition_id"]: r
+        for r in metrics_anomalies(astore, "cur", ["$.rows"]).collect()}
+assert anom["p1"]["anomalous"] and abs(anom["p1"]["z"]) > 3
+assert not anom["p2"]["anomalous"]
+print(f"metrics anomalies: p1 z={anom['p1']['z']} flagged, p2 stable")
+
 from ndap_data_validator_spark.operators.curate import curate_corpus
 
 curated, funnel = curate_corpus(docs, bench_set, min_quality=0.2,
