@@ -1624,21 +1624,63 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document token count plus the md5 of the canonical encoded token
     stream, so the oracle hash-checks the ENTIRE token sequence, not just
     its length. This is the token budget chunk/pack actually use
-    (VERDICT r03 #2; the regex count in text_quality is the cheap proxy)."""
+    (VERDICT r03 #2; the regex count in text_quality is the cheap proxy).
+    r05: also the md5 of the INTEGER TOKEN-ID sequence under the corpus
+    vocabulary (bpe.bpe_vocab — base alphabet in byte order, then merge
+    products in rank order), i.e. the tensor a trainer actually consumes;
+    the vocab is metadata-sized and broadcast, ids re-assemble in ONE
+    groupBy on the doc key."""
     from ndap_data_validator_spark.functions.bpe import (
         bpe_stream,
         bpe_token_count_from_stream,
+        bpe_tokens_from_stream,
+        bpe_vocab,
     )
 
-    # spread the one-split scan, then compute the replace chain ONCE behind
-    # an alias barrier — count and md5 both derive from the aliased stream
     d = _spread(_t(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", bpe_stream(F.col("text")).alias("__enc")
-    ).select(
+    vocab_df, _n_base = bpe_vocab(_t(spark, sf_dir, "documents"), "text")
+    # spread the one-split scan, then compute the replace chain ONCE behind
+    # an alias barrier — count, stream md5 and the token texts all derive
+    # from the aliased stream
+    base = d.select("doc_id", bpe_stream(F.col("text")).alias("__enc"))
+    tok = base.select(
+        "doc_id",
+        "__enc",
+        F.posexplode_outer(bpe_tokens_from_stream(F.col("__enc"))).alias(
+            "__pos", "__tok"
+        ),
+    )
+    agg = (
+        tok.join(
+            F.broadcast(vocab_df.withColumnRenamed("token", "__tok")),
+            on="__tok",
+            how="left",
+        )
+        .groupBy("doc_id", "__enc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("token_id").isNotNull(),
+                                F.struct(F.col("__pos"), F.col("token_id")),
+                            )
+                        )
+                    ),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                ",",
+            ).alias("__idstr")
+        )
+    )
+    return agg.select(
         "doc_id",
         bpe_token_count_from_stream(F.col("__enc")).alias("n_tokens_bpe_real"),
         F.md5(F.col("__enc")).alias("stream_md5"),
+        F.when(F.col("__enc").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.md5(F.col("__idstr")))
+        .alias("ids_md5"),
     )
 
 
@@ -2758,17 +2800,45 @@ def _repeated_ngrams_oracle_sql(seed: int = 42, min_docs: int = 2) -> str:
 def _bpe_encode_oracle_sql() -> str:
     """DuckDB replay of the merge-table BPE: identical pretokenizer regex
     and identical sentinel-replace chain (functions/bpe.py renders both),
-    so the full token stream hash matches byte-for-byte."""
+    so the full token stream hash matches byte-for-byte — and (r05) the
+    identical vocabulary build (byte-ordered base alphabet + rank-ordered
+    merge products, bpe_vocab_sql) plus position-ordered id join, so the
+    INTEGER ID sequence hash matches too."""
     from ndap_data_validator_spark.functions.bpe import (
         bpe_stream_sql,
-        bpe_token_count_sql,
+        bpe_tokens_sql_from_stream,
+        bpe_vocab_sql,
     )
 
+    vocab = bpe_vocab_sql("SELECT text FROM documents", "text")
+    toks = bpe_tokens_sql_from_stream("stream")
     return f"""
-      SELECT doc_id,
-             {bpe_token_count_sql('text')} AS n_tokens_bpe_real,
-             md5({bpe_stream_sql('text')}) AS stream_md5
-      FROM documents
+      WITH enc AS (
+        SELECT doc_id, {bpe_stream_sql('text')} AS stream FROM documents
+      ),
+      vocab AS ({vocab}),
+      tk AS (
+        SELECT doc_id, toks[i] AS tok, i FROM (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS i
+          FROM (SELECT doc_id, {toks} AS toks FROM enc) a
+        ) b
+      ),
+      ids AS (
+        SELECT doc_id,
+               string_agg(CAST(v.token_id AS VARCHAR), ',' ORDER BY i)
+                 AS idstr
+        FROM tk JOIN vocab v ON v.token = tk.tok
+        GROUP BY doc_id
+      )
+      SELECT e.doc_id,
+             CAST((length(e.stream)
+                   - length(replace(e.stream, chr(31), ''))) / 2 AS INT)
+               AS n_tokens_bpe_real,
+             md5(e.stream) AS stream_md5,
+             CASE WHEN e.stream IS NULL THEN NULL
+                  ELSE md5(COALESCE(i.idstr, '')) END AS ids_md5
+      FROM enc e LEFT JOIN ids i USING (doc_id)
     """
 
 

@@ -112,17 +112,219 @@ def bpe_token_count(
     return bpe_token_count_from_stream(bpe_stream(col, merges))
 
 
+def bpe_tokens_from_stream(enc: Column) -> Column:
+    """array<string> of token texts from an ALREADY-COMPUTED stream column
+    (see :func:`bpe_token_count_from_stream` for why the alias barrier
+    matters). NULL stream → NULL; empty stream → empty array."""
+    flat = F.replace(enc, F.lit(SEP), F.lit(""))
+    stripped = F.regexp_replace(flat, f"^{SYM}|{SYM}$", "")
+    return (
+        F.when(enc.isNull(), F.lit(None).cast("array<string>"))
+        .when(F.length(flat) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(stripped, SYM + SYM))
+    )
+
+
 def bpe_tokens(col: Column, merges: list[tuple[str, str]] | None = None) -> Column:
     """array<string> of token texts (leading spaces preserved on
     space-prefixed tokens, so ``array_join(tokens, '')`` reconstructs the
     pretokenized text). Empty/NULL-token text → empty array / NULL."""
-    enc = bpe_stream(col, merges)
-    flat = F.replace(enc, F.lit(SEP), F.lit(""))
-    stripped = F.regexp_replace(flat, f"^{SYM}|{SYM}$", "")
+    return bpe_tokens_from_stream(bpe_stream(col, merges))
+
+
+# ------------------------------------------------------- token ids / decode
+
+
+def bpe_vocab(
+    docs,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+):
+    """Integer token-id vocabulary over a corpus: base symbols are the
+    DISTINCT single characters of the pretokenized+cleaned corpus in
+    binary (UTF-8 byte) order → ids ``0..B-1``, then each merge's product
+    string in rank order → ids ``B..B+K-1`` (a product already seen at an
+    earlier rank keeps its first id; products are ≥2 chars so they can
+    never collide with base symbols). This is the id assignment a real
+    BPE vocabulary file carries — base alphabet first, merges in learned
+    order — so ids are stable given (corpus, merges).
+
+    Returns ``(vocab_df, n_base)`` where ``vocab_df`` has columns
+    ``(token_id int, token string)`` built as ONE single-slice literal
+    frame (the vocab is metadata-sized — |alphabet| + |merges| rows — so
+    it lives on the driver and broadcasts everywhere it is joined, like
+    the quality-classifier weights). Distributed shape of the build: one
+    distinct over the exploded char frame (char-sized, never
+    corpus-sized), collected once.
+    """
+    merges = BPE_MERGES_DEFAULT if merges is None else merges
+    spark = docs.sparkSession
+    char_rows = (
+        docs.select(bpe_stream(F.col(text_col), merges=[]).alias("state"))
+        .where(F.col("state").isNotNull() & (F.length("state") > 0))
+        .select(F.explode(F.split("state", SEP)).alias("pt"))
+        .select(
+            F.explode(
+                F.split(
+                    F.expr("substring(pt, 2, greatest(length(pt) - 2, 0))"),
+                    SYM + SYM,
+                )
+            ).alias("sym")
+        )
+        .where(F.length("sym") > 0)
+        .distinct()
+        .collect()
+    )
+    base = sorted((r["sym"] for r in char_rows), key=lambda s: s.encode())
+    vocab: list[tuple[int, str]] = [(i, s) for i, s in enumerate(base)]
+    seen = set(base)
+    next_id = len(base)
+    for a, b in merges:
+        prod = a + b
+        if prod in seen:
+            continue
+        seen.add(prod)
+        vocab.append((next_id, prod))
+        next_id += 1
+    vocab_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vocab, numSlices=1),
+        "token_id int, token string",
+    )
+    return vocab_df, len(base)
+
+
+def bpe_encode_ids(
+    docs,
+    id_col: str,
+    text_col: str,
+    vocab_df,
+    merges: list[tuple[str, str]] | None = None,
+):
+    """Encode text to an ``array<int>`` of token ids — the tensor a
+    training pipeline actually feeds the model. Plan shape: stream
+    projection (the codegen replace chain, once per row behind an alias
+    barrier) → posexplode of the token texts → BROADCAST join against the
+    metadata-sized vocab → ONE groupBy shuffle on the document key that
+    re-assembles ids in position order. The corpus shuffles ids + the
+    stream only; the vocab never shuffles.
+
+    Out-of-vocabulary tokens (text whose characters were absent from the
+    vocab's corpus — the contract has a char-level base alphabet, no UNK)
+    surface as ``n_oov > 0`` with the OOV positions dropped from
+    ``token_ids``; callers gate on ``n_oov == 0`` when exactness matters.
+
+    Returns columns ``(id_col, token_ids array<int>, n_tokens int,
+    n_oov int)``; NULL text → NULL ids, empty text → empty array.
+
+    Encode is per-ROW, not per-key: the reassembly groups on an internal
+    row id, so duplicate ``id_col`` values (e.g. a corpus with planted
+    duplicate rows) yield one output row each instead of collapsing into
+    one group with doubled positions.
+    """
+    tok = docs.select(
+        F.monotonically_increasing_id().alias("__rid"),
+        F.col(id_col),
+        bpe_stream(F.col(text_col), merges).alias("__enc"),
+    ).select(
+        "__rid",
+        id_col,
+        "__enc",
+        F.posexplode_outer(bpe_tokens_from_stream(F.col("__enc"))).alias(
+            "__pos", "__tok"
+        ),
+    )
+    joined = tok.join(
+        F.broadcast(vocab_df.withColumnRenamed("token", "__tok")),
+        on="__tok",
+        how="left",
+    )
+    agg = joined.groupBy("__rid", id_col, "__enc").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("token_id").isNotNull(),
+                        F.struct(F.col("__pos"), F.col("token_id")),
+                    )
+                )
+            ),
+            lambda s: s["token_id"],
+        ).alias("__ids"),
+        F.sum(
+            F.when(
+                F.col("__pos").isNotNull() & F.col("token_id").isNull(), 1
+            ).otherwise(0)
+        ).cast("int").alias("n_oov"),
+    )
+    return agg.select(
+        id_col,
+        F.when(F.col("__enc").isNull(), F.lit(None).cast("array<int>"))
+        .otherwise(F.col("__ids"))
+        .alias("token_ids"),
+        F.when(F.col("__enc").isNull(), F.lit(None).cast("int"))
+        .otherwise(bpe_token_count_from_stream(F.col("__enc")))
+        .alias("n_tokens"),
+        F.when(F.col("__enc").isNull(), F.lit(None).cast("int"))
+        .otherwise(F.col("n_oov"))
+        .alias("n_oov"),
+    )
+
+
+def bpe_decode(
+    df,
+    id_col: str,
+    ids_col: str,
+    vocab_df,
+):
+    """Decode ``array<int>`` token ids back to text (the pretokenized
+    form — token texts carry their leading spaces, so concatenation IS
+    the decode; matches ``' '.join(pretokens)`` of the original up to the
+    tokenizer's whitespace normalization). Same plan shape as encode:
+    posexplode → broadcast vocab join on token_id → one groupBy
+    re-assembling in position order. Unknown ids decode to '' (dropped).
+    Per-row like encode: duplicate ``id_col`` values each decode to their
+    own output row.
+
+    Returns ``(id_col, text string)``; NULL ids → NULL text, empty ids →
+    empty string."""
+    ex = df.select(
+        # row id in its OWN projection, before the generator — inside the
+        # explode select every output row would get a fresh id
+        F.monotonically_increasing_id().alias("__rid"),
+        F.col(id_col),
+        F.col(ids_col).alias("__ids"),
+    ).select(
+        "__rid",
+        id_col,
+        "__ids",
+        F.posexplode_outer("__ids").alias("__pos", "token_id"),
+    )
+    joined = ex.join(F.broadcast(vocab_df), on="token_id", how="left")
     return (
-        F.when(col.isNull(), F.lit(None).cast("array<string>"))
-        .when(F.length(flat) == 0, F.array().cast("array<string>"))
-        .otherwise(F.split(stripped, SYM + SYM))
+        joined.groupBy("__rid", id_col)
+        .agg(
+            F.max(F.col("__ids").isNull()).alias("__was_null"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("token").isNotNull(),
+                                F.struct(F.col("__pos"), F.col("token")),
+                            )
+                        )
+                    ),
+                    lambda s: s["token"],
+                ),
+                "",
+            ).alias("__text"),
+        )
+        .select(
+            id_col,
+            F.when(F.col("__was_null"), F.lit(None).cast("string"))
+            .otherwise(F.col("__text"))
+            .alias("text"),
+        )
     )
 
 
@@ -269,6 +471,72 @@ def bpe_token_count_sql(
         f"CAST((length({enc}) - length(replace({enc}, chr(31), ''))) / 2 "
         "AS INT)"
     )
+
+
+def bpe_vocab_sql(
+    corpus_sql: str,
+    text_expr: str,
+    merges: list[tuple[str, str]] | None = None,
+) -> str:
+    """DuckDB rendering of :func:`bpe_vocab` as a self-contained SELECT
+    yielding ``(token_id, token)``: distinct corpus characters in binary
+    order get ids ``0..B-1`` (DuckDB's default VARCHAR order is byte
+    order, same as the Python ``s.encode()`` sort the Spark side uses),
+    then the deduped merge products at ``B + seq`` — seq assigned here in
+    rank order, exactly like the driver-side list build."""
+    merges = BPE_MERGES_DEFAULT if merges is None else merges
+    base = bpe_stream_sql(text_expr, merges=[])
+    sym2 = "chr(31) || chr(31)"
+    prods: list[str] = []
+    seen: set[str] = set()
+    for a, b in merges:
+        prod = a + b
+        if prod in seen:
+            continue
+        seen.add(prod)
+        prods.append(f"({len(prods)}, {_lit(prod)})")
+    merge_src = (
+        f"(VALUES {', '.join(prods)}) m(seq, token)"
+        if prods
+        else "(SELECT 0 AS seq, CAST(NULL AS VARCHAR) AS token "
+        "WHERE FALSE) m"
+    )
+    return f"""
+      WITH v_state AS (
+        SELECT state FROM (
+          SELECT {base} AS state FROM ({corpus_sql}) c
+          WHERE {text_expr} IS NOT NULL
+        ) s WHERE length(state) > 0
+      ),
+      v_chars AS (
+        SELECT DISTINCT sym FROM (
+          SELECT unnest(string_split(
+                   substr(pt, 2, greatest(length(pt) - 2, 0)), {sym2}
+                 )) AS sym
+          FROM (SELECT unnest(string_split(state, chr(30))) AS pt
+                FROM v_state) u0
+        ) u1 WHERE length(sym) > 0
+      )
+      SELECT CAST(row_number() OVER (ORDER BY sym ASC) - 1 AS INT)
+               AS token_id,
+             sym AS token
+      FROM v_chars
+      UNION ALL
+      SELECT CAST((SELECT count(*) FROM v_chars) + m.seq AS INT), m.token
+      FROM {merge_src}
+    """
+
+
+def bpe_tokens_sql_from_stream(stream_expr: str) -> str:
+    """DuckDB list of token texts from a stream expression (NULL stream →
+    NULL; the '' element an empty stream yields joins nothing, matching
+    Spark's empty array)."""
+    flat = f"replace({stream_expr}, chr(30), '')"
+    stripped = (
+        f"regexp_replace({flat}, "
+        "'^' || chr(31) || '|' || chr(31) || '$', '', 'g')"
+    )
+    return f"string_split({stripped}, chr(31) || chr(31))"
 
 
 def bpe_train_sql(corpus_sql: str, text_expr: str, num_merges: int) -> str:

@@ -290,3 +290,149 @@ def test_bpe_train_sql_replays_spark(spark):
     ).fetchall()
     duck = [(r[1], r[2], r[4]) for r in sorted(rows)]
     assert duck == learned
+
+
+# ------------------------------------------------------- token ids / decode
+
+
+def test_bpe_vocab_layout_and_ids_roundtrip(spark):
+    """bpe_vocab: byte-ordered base alphabet then rank-ordered merge
+    products; encode_ids → decode round-trips to the pretokenized text."""
+    texts = [
+        "the thing is that it is resting and standing",
+        "it is of and to in that",
+        None,
+        "",
+        "zq zq zq",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    vocab_df, n_base = bpe.bpe_vocab(df, "text")
+    vocab = {r["token_id"]: r["token"] for r in vocab_df.collect()}
+    # base block: single chars, sorted by UTF-8 bytes, ids 0..n_base-1
+    base = [vocab[i] for i in range(n_base)]
+    assert all(len(s) == 1 for s in base)
+    assert base == sorted(base, key=lambda s: s.encode())
+    # merge block: products in rank order, no duplicates
+    prods = [vocab[i] for i in range(n_base, len(vocab))]
+    assert all(len(p) >= 2 for p in prods)
+    assert len(set(prods)) == len(prods)
+
+    enc = bpe.bpe_encode_ids(df, "id", "text", vocab_df)
+    rows = {r["id"]: r for r in enc.collect()}
+    assert rows[2]["token_ids"] is None and rows[2]["n_tokens"] is None
+    assert rows[3]["token_ids"] == [] and rows[3]["n_tokens"] == 0
+    assert all(
+        (r["n_oov"] == 0) for i, r in rows.items() if r["n_oov"] is not None
+    )
+    # ids agree with the token texts under the vocab mapping
+    toks = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", bpe.bpe_tokens(F.col("text")).alias("t")
+        ).collect()
+    }
+    inv = {v: k for k, v in vocab.items()}
+    for i in (0, 1, 4):
+        assert rows[i]["token_ids"] == [inv[t] for t in toks[i]]
+        assert rows[i]["n_tokens"] == len(toks[i])
+
+    dec = bpe.bpe_decode(enc, "id", "token_ids", vocab_df)
+    got = {r["id"]: r["text"] for r in dec.collect()}
+    assert got[2] is None
+    assert got[3] == ""
+    # decode == concatenated token texts == pretokenized original
+    for i in (0, 1, 4):
+        assert got[i] == "".join(toks[i]) == texts[i]
+
+
+def test_bpe_encode_ids_flags_oov(spark):
+    """Text whose characters were absent from the vocab corpus surfaces as
+    n_oov (char-level base alphabet, no UNK id)."""
+    train = spark.createDataFrame([(0, "abc abc")], "id long, text string")
+    vocab_df, _ = bpe.bpe_vocab(train, "text")
+    score = spark.createDataFrame([(1, "abc xyz")], "id long, text string")
+    r = bpe.bpe_encode_ids(score, "id", "text", vocab_df).first()
+    assert r["n_oov"] > 0
+    assert len(r["token_ids"]) + r["n_oov"] == r["n_tokens"]
+
+
+def test_bpe_ids_cross_engine_fuzz(spark):
+    """Seeded fuzz incl. emoji/unicode: the full integer-id sequence
+    agrees between the Spark encode (bpe_encode_ids) and the DuckDB
+    rendering (bpe_vocab_sql + position-ordered join) — the oracle shape
+    behind the bpe_encode entry's ids_md5."""
+    import random
+
+    rng = random.Random(20260819)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz THEANDOFIS 0123456789 .,!?'()-"
+        "\t\n\x1f\x1e éüñ漢字🙂"
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    vocab_df, _ = bpe.bpe_vocab(df, "text")
+    srows = {
+        r["id"]: ",".join(str(x) for x in r["token_ids"])
+        for r in bpe.bpe_encode_ids(df, "id", "text", vocab_df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    vocab_sql = bpe.bpe_vocab_sql("SELECT text FROM t", "text")
+    toks_sql = bpe.bpe_tokens_sql_from_stream("stream")
+    orows = dict(
+        con.execute(
+            f"""
+        WITH enc AS (SELECT id, {bpe.bpe_stream_sql('text')} AS stream FROM t),
+        vocab AS ({vocab_sql}),
+        tk AS (
+          SELECT id, toks[i] AS tok, i FROM (
+            SELECT id, toks, unnest(generate_series(1, len(toks))) AS i
+            FROM (SELECT id, {toks_sql} AS toks FROM enc) a) b
+        )
+        SELECT e.id, COALESCE(i.idstr, '') FROM enc e LEFT JOIN (
+          SELECT id, string_agg(CAST(v.token_id AS VARCHAR), ',' ORDER BY i)
+                   AS idstr
+          FROM tk JOIN vocab v ON v.token = tk.tok GROUP BY id
+        ) i USING (id)
+        """
+        ).fetchall()
+    )
+    mismatches = [
+        (i, texts[i][:40], srows[i], orows[i])
+        for i in srows
+        if srows[i] != orows[i]
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_bpe_encode_ids_per_row_on_duplicate_ids(spark):
+    """Duplicate (id, text) rows encode to one output row EACH — the
+    reassembly groups on an internal row id, never the user key (a corpus
+    with planted duplicate rows used to collapse into one group with
+    doubled positions; caught by the spark-submit verify job)."""
+    df = spark.createDataFrame(
+        [(7, "the thing"), (7, "the thing"), (7, "of it")],
+        "id long, text string",
+    )
+    vocab_df, _ = bpe.bpe_vocab(df, "text")
+    rows = bpe.bpe_encode_ids(df, "id", "text", vocab_df).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r["token_ids"]) + r["n_oov"] == r["n_tokens"]
+    dec = bpe.bpe_decode(
+        bpe.bpe_encode_ids(df, "id", "text", vocab_df),
+        "id",
+        "token_ids",
+        vocab_df,
+    ).collect()
+    assert sorted(r["text"] for r in dec) == ["of it", "the thing", "the thing"]

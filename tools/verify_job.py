@@ -455,6 +455,46 @@ recon = bpe_docs.select(
 assert recon["n"] == recon["t"], recon  # lossless reconstruction
 print("bpe: ", agg["b"], "bpe tokens vs", agg["w"], "ws tokens, reconstruction ok")
 
+# --- round-5 addition: integer token ids (vocab → encode_ids → decode) ---
+
+from ndap_data_validator_spark.functions.bpe import (
+    bpe_decode,
+    bpe_encode_ids,
+    bpe_vocab,
+)
+
+vocab_df, n_base = bpe_vocab(bpe_docs, "text")
+n_vocab = vocab_df.count()
+assert n_vocab > n_base > 0, (n_vocab, n_base)
+ids = bpe_encode_ids(bpe_docs, "doc_id", "text", vocab_df)
+idchk = ids.agg(
+    F.sum("n_oov").alias("oov"),
+    F.sum(
+        F.when(
+            F.col("token_ids").isNull()
+            | (F.size("token_ids") + F.col("n_oov") == F.col("n_tokens")),
+            0,
+        ).otherwise(1)
+    ).alias("bad"),
+).first()
+assert idchk["oov"] == 0 and idchk["bad"] == 0, idchk  # in-vocab, length-true
+rt = (
+    bpe_decode(ids, "doc_id", "token_ids", vocab_df)
+    .withColumnRenamed("text", "decoded")
+    .join(bpe_docs.select("doc_id", "text"), "doc_id")
+    .agg(
+        F.sum(
+            (F.col("decoded")
+             == F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+            .cast("int")
+        ).alias("n"),
+        F.count("*").alias("t"),
+    )
+    .first()
+)
+assert rt["n"] == rt["t"], rt  # decode(encode(x)) == pretokenized x
+print("bpe ids:", n_vocab, "vocab tokens (", n_base, "base ), id round-trip ok")
+
 sized = counts.where(F.col("n_bpe") > 0).select("doc_id", F.col("n_bpe").alias("n_tokens"))
 ns = pack_nosplit(sized, budget=256, n_shards=8)
 n_docs_in = sized.count()
