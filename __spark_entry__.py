@@ -1193,8 +1193,8 @@ _LINE_BOILER = "cookie consent accept all essential functional and analytics"
 
 
 def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document repeated-text removal, both granularities in one
-    method-tagged union (operators/repeated.py):
+    """Cross-document repeated-text removal, all three granularities in
+    one method-tagged union (operators/repeated.py):
 
     * ``ngram`` — repeated n-gram spans (the n-gram-granularity
       approximation of suffix-array substring dedup, Lee et al. 2022):
@@ -1207,13 +1207,20 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       line / the rest), lines shared by ≥2 docs are removed, and each doc
       reports the same rollup plus ``cleaned_md5`` — the md5 of the
       reassembled cleaned text, so the oracle verifies the REWRITE, not
-      just the counts.
+      just the counts;
+    * ``substring`` (r05) — the actual Lee et al. CUT: repeated 6-gram
+      windows are removed from every doc except each gram's canonical
+      (min-id) owner, overlapping windows union, and the doc survives as
+      its kept tokens re-joined — so the planted slogan survives ONLY in
+      doc 0 and ``cleaned_md5`` receipts every rewrite.
 
     md5-portable hashing lets DuckDB replay positions, the repeated-hash
-    sets, the run-length grouping, and the line reassembly exactly."""
+    sets, canonical owners, window coverage, the run-length grouping, and
+    both reassemblies exactly."""
     from ndap_data_validator_spark.operators.repeated import (
         line_dedup,
         repeated_ngram_report,
+        substring_dedup,
     )
 
     docs = _spread(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 400))
@@ -1255,7 +1262,19 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_repeated_run",
         "cleaned_md5",
     )
-    return ngram.unionByName(line)
+    _, sub_report = substring_dedup(
+        planted, n=_RPT_N, min_docs=2, seed=42, hash_fn="md5"
+    )
+    sub = sub_report.select(
+        F.lit("substring").alias("method"),
+        "doc_id",
+        F.col("n_tokens").alias("n_positions"),
+        F.col("n_removed").alias("n_repeated"),
+        F.col("removed_frac").alias("repeated_frac"),
+        F.col("max_removed_run").alias("max_repeated_run"),
+        "cleaned_md5",
+    )
+    return ngram.unionByName(line).unionByName(sub)
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2733,6 +2752,45 @@ def _repeated_ngrams_oracle_sql(seed: int = 42, min_docs: int = 2) -> str:
                    CASE WHEN r = 1 THEN pos - cum ELSE NULL END AS grp,
                    COUNT(*) AS cnt
             FROM c GROUP BY doc_id, grp),
+      snt AS (SELECT doc_id, len(w) AS nt FROM w),
+      srep AS (SELECT hh, MIN(doc_id) AS canon
+               FROM (SELECT DISTINCT doc_id, hh FROM hx) sd
+               GROUP BY hh HAVING COUNT(*) >= {min_docs}),
+      scov AS (SELECT DISTINCT doc_id, tpos FROM (
+                 SELECT h.doc_id AS doc_id,
+                        unnest(generate_series(
+                          h.pos, least(h.pos + {k}, s.nt))) AS tpos
+                 FROM hx h JOIN srep r USING (hh)
+                 JOIN snt s ON s.doc_id = h.doc_id
+                 WHERE h.doc_id IS DISTINCT FROM r.canon) sq),
+      stok AS (SELECT doc_id, i AS tpos, w[i] AS tok FROM (
+                 SELECT doc_id, w,
+                        unnest(generate_series(1, len(w))) AS i
+                 FROM w) tq),
+      smk AS (SELECT t.doc_id, t.tpos, t.tok,
+                     CASE WHEN c.tpos IS NOT NULL THEN 1 ELSE 0 END AS r,
+                     SUM(CASE WHEN c.tpos IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY t.doc_id ORDER BY t.tpos) AS cum
+              FROM stok t LEFT JOIN scov c ON c.doc_id = t.doc_id
+                                          AND c.tpos = t.tpos),
+      sclean AS (SELECT doc_id,
+                   COALESCE(array_to_string(
+                     list(tok ORDER BY tpos) FILTER (WHERE r = 0),
+                     ' '), '') AS t
+                 FROM smk GROUP BY doc_id),
+      sg AS (SELECT doc_id,
+                    CASE WHEN r = 1 THEN tpos - cum ELSE NULL END AS grp,
+                    COUNT(*) AS cnt
+             FROM smk GROUP BY doc_id, grp),
+      sroll AS (SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_positions,
+             CAST(SUM(CASE WHEN grp IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_repeated,
+             ROUND(SUM(CASE WHEN grp IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE
+                   / SUM(cnt), 4) AS repeated_frac,
+             CAST(COALESCE(MAX(CASE WHEN grp IS NOT NULL THEN cnt END), 0)
+               AS BIGINT) AS max_repeated_run
+      FROM sg GROUP BY doc_id),
       ldocs AS (SELECT doc_id,
                array_to_string(w[1:12], ' ')
                || CASE WHEN doc_id % 5 = 0
@@ -2794,6 +2852,10 @@ def _repeated_ngrams_oracle_sql(seed: int = 42, min_docs: int = 2) -> str:
       SELECT 'line' AS method, r.doc_id, r.n_positions, r.n_repeated,
              r.repeated_frac, r.max_repeated_run, md5(c.t) AS cleaned_md5
       FROM lroll r JOIN lclean c USING (doc_id)
+      UNION ALL
+      SELECT 'substring' AS method, r.doc_id, r.n_positions, r.n_repeated,
+             r.repeated_frac, r.max_repeated_run, md5(c.t) AS cleaned_md5
+      FROM sroll r JOIN sclean c USING (doc_id)
     """
 
 

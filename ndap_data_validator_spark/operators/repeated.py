@@ -271,3 +271,173 @@ def line_dedup(
     )
     cleaned = report.select(id_col, F.col("__text").alias(text_col))
     return cleaned, report.drop("__text")
+
+
+# -------------------------------------------------- substring-level dedup
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    round_digits: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-document SUBSTRING deduplication — the CUT transform of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022) at n-gram granularity: where :func:`repeated_ngram_report`
+    only FLAGS repeated spans, this removes them while keeping exactly
+    one canonical copy in the corpus.
+
+    Contract (deterministic, oracle-replayable):
+
+    * tokens are the casefolded whitespace-normalized words (the cut
+      operates in normalized token space, as suffix-array dedup operates
+      on tokenized text);
+    * an n-gram position is repeated when its hash occurs in at least
+      ``min_docs`` distinct documents; each repeated hash has ONE
+      canonical owner — the minimum document id holding it — which keeps
+      all its occurrences; every other document cuts every occurrence;
+    * a cut at position p removes tokens ``p .. min(p+n-1, n_tokens)``
+      (a document shorter than ``n`` tokens is one whole-text 'n-gram'
+      at position 1, so a repeated short doc empties entirely unless it
+      is the canonical owner); overlapping cut windows union;
+    * the document survives as its kept tokens re-joined in order (''
+      when nothing survives); docs whose text yields no tokens (NULL
+      text) drop out, as in every n-gram operator here.
+
+    Returns ``(cleaned, report)`` — ``cleaned`` is (id, text);
+    ``report`` is (id, n_tokens, n_removed, removed_frac,
+    max_removed_run, cleaned_md5), the :func:`line_dedup` rollup shape
+    in token space with the reassembly receipt.
+
+    Plan shape, sized for 100 TB: positional n-grams and the token
+    posexplode are scan-level projections; the repeated set is
+    ``distinct(id, hash) → groupBy(hash)`` carrying (count, min(id)) on
+    an 8-byte key (map-side partial agg), and only hashes reaching
+    ``min_docs`` survive, so AQE broadcasts the marking join's flag
+    side; window coverage fans out ``n×`` over CUT positions only (a
+    small fraction of the corpus by construction); the reassembly is ONE
+    groupBy on the id. ``hash_fn='md5'`` (portable_hash64) makes the
+    whole pipeline replayable by the DuckDB oracle; production uses
+    xxhash64.
+
+    No counterpart in the reference (tabular scope,
+    utils/validation.py); north-star training-data op.
+    """
+    toks_arr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = docs.select(F.col(id_col), toks_arr.alias("__w")).where(
+        F.size("__w") > 0
+    )
+    toks = base.select(
+        id_col,
+        F.size("__w").alias("__nt"),
+        F.posexplode("__w").alias("__tpos", "__tok"),
+    ).select(
+        id_col, "__nt", (F.col("__tpos") + 1).alias("__tpos"), "__tok"
+    )
+    hashed = base.select(
+        F.col(id_col),
+        F.size("__w").alias("__nt"),
+        F.explode(positional_ngrams(F.concat_ws(" ", "__w"), n)).alias(
+            "__png"
+        ),
+    ).select(
+        id_col,
+        "__nt",
+        F.col("__png.pos").alias("__pos"),
+        _hash64(F.col("__png.ng"), seed, hash_fn).alias("__h"),
+    )
+    repeated = (
+        hashed.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.min(id_col).alias("__canon"),
+        )
+        .where(F.col("__nd") >= min_docs)
+        .select("__h", "__canon")
+    )
+    # a cut position: repeated hash, and this doc is NOT the canonical
+    # owner (null-safe — a NULL id is one anonymous document)
+    cuts = hashed.join(repeated, "__h").where(
+        ~F.col(id_col).eqNullSafe(F.col("__canon"))
+    )
+    coverage = cuts.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(
+            F.sequence(
+                F.col("__pos"), F.least(F.col("__pos") + n - 1, F.col("__nt"))
+            )
+        ).alias("__ctpos"),
+    ).distinct()
+    marked = toks.join(
+        coverage,
+        F.col(id_col).eqNullSafe(F.col("__cid"))
+        & (F.col("__tpos") == F.col("__ctpos")),
+        "left",
+    ).select(
+        id_col,
+        "__tpos",
+        "__tok",
+        F.when(F.col("__ctpos").isNotNull(), 1).otherwise(0).alias("__r"),
+    )
+    kept_struct = F.when(
+        F.col("__r") == 0, F.struct(F.col("__tpos"), F.col("__tok"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__tpos")
+    grouped = (
+        marked.select(
+            id_col,
+            "__r",
+            kept_struct.alias("__kept"),
+            F.when(
+                F.col("__r") == 1, F.col("__tpos") - F.sum("__r").over(w)
+            ).alias("__grp"),
+        )
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.collect_list("__kept").alias("__kl"),
+        )
+    )
+    rem_cnt = F.when(F.col("__grp").isNotNull(), F.col("__cnt")).otherwise(
+        F.lit(0)
+    )
+    report = (
+        grouped.groupBy(id_col)
+        .agg(
+            F.sum("__cnt").alias("n_tokens"),
+            F.sum(rem_cnt).alias("n_removed"),
+            F.coalesce(
+                F.max(F.when(F.col("__grp").isNotNull(), F.col("__cnt"))),
+                F.lit(0),
+            ).alias("max_removed_run"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.flatten(F.collect_list("__kl"))),
+                    lambda s: s["__tok"],
+                ),
+            ).alias("__text"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_removed",
+            F.round(
+                F.col("n_removed").cast("double") / F.col("n_tokens"),
+                round_digits,
+            ).alias("removed_frac"),
+            "max_removed_run",
+            F.md5("__text").alias("cleaned_md5"),
+            "__text",
+        )
+    )
+    cleaned = report.select(id_col, F.col("__text").alias(text_col))
+    return cleaned, report.drop("__text")

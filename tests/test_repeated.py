@@ -104,3 +104,87 @@ def test_null_text_drops_and_within_doc_repeat_not_flagged(spark):
     # doc 2 repeats WITHIN itself only: distinct-docs count is 1 → not
     # cross-doc repeated (that signal is textstats.repetition_ratio)
     assert got[2]["n_repeated"] == 0
+
+
+# -------------------------------------------------- substring-level dedup
+
+
+def _subdedup(spark, rows, **kw):
+    from ndap_data_validator_spark.operators.repeated import substring_dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned, report = substring_dedup(df, n=kw.pop("n", 4), **kw)
+    return (
+        {r["doc_id"]: r["text"] for r in cleaned.collect()},
+        {r["doc_id"]: r.asDict() for r in report.collect()},
+    )
+
+
+def test_substring_dedup_cuts_all_but_canonical(spark):
+    texts, rep = _subdedup(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c d z w"),
+            (3, "a b c d"),
+            (6, None),
+        ],
+    )
+    # doc 1 is the canonical (min id) owner of every shared gram: intact
+    assert texts[1] == "a b c d e f"
+    # doc 2 cuts its pos-3 gram -> tokens 3..6 removed
+    assert texts[2] == "x y z w"
+    assert rep[2]["n_tokens"] == 8 and rep[2]["n_removed"] == 4
+    assert rep[2]["removed_frac"] == 0.5 and rep[2]["max_removed_run"] == 4
+    # doc 3 IS the shared gram: empties entirely
+    assert texts[3] == "" and rep[3]["n_removed"] == 4
+    # NULL text drops out
+    assert 6 not in texts and 6 not in rep
+    # canonical doc reports zero removals
+    assert rep[1]["n_removed"] == 0 and rep[1]["removed_frac"] == 0.0
+
+
+def test_substring_dedup_overlapping_windows_union(spark):
+    # docs 1 and 7 are identical: every gram position repeats; doc 7's
+    # overlapping cut windows union to the whole doc
+    texts, rep = _subdedup(
+        spark, [(1, "a b c d e f"), (7, "a b c d e f")]
+    )
+    assert texts[1] == "a b c d e f"
+    assert texts[7] == ""
+    assert rep[7]["n_removed"] == 6 and rep[7]["max_removed_run"] == 6
+
+
+def test_substring_dedup_short_doc_whole_text_rule(spark):
+    # 2-token docs (< n): the whole text is one 'gram' at pos 1; the
+    # non-canonical copy empties, the canonical stays; casefold matches
+    texts, rep = _subdedup(
+        spark, [(4, "hello there"), (5, "Hello  THERE"), (8, "unique words")]
+    )
+    assert texts[4] == "hello there"
+    assert texts[5] == ""
+    assert rep[5]["n_tokens"] == 2 and rep[5]["n_removed"] == 2
+    assert texts[8] == "unique words" and rep[8]["n_removed"] == 0
+
+
+def test_substring_dedup_within_doc_repeat_not_cut(spark):
+    # the same gram twice in ONE doc is not cross-document: nothing cut
+    texts, rep = _subdedup(spark, [(9, "p q r s p q r s")])
+    assert texts[9] == "p q r s p q r s"
+    assert rep[9]["n_removed"] == 0
+
+
+def test_substring_dedup_md5_receipt_and_hash_parity(spark):
+    import hashlib
+
+    for fn in ("xxhash64", "md5"):
+        texts, rep = _subdedup(
+            spark,
+            [(1, "a b c d e f"), (2, "x y a b c d z w")],
+            hash_fn=fn,
+        )
+        assert texts[2] == "x y z w"
+        assert (
+            rep[2]["cleaned_md5"]
+            == hashlib.md5(b"x y z w").hexdigest()
+        )

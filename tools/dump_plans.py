@@ -123,6 +123,16 @@ def _training_order(spark, df):
     )
 
 
+def _bpe_ids(spark, df):
+    from ndap_data_validator_spark.functions.bpe import bpe_encode_ids, bpe_vocab
+
+    docs = df.where(F.col("turn_idx") == 0).select(
+        F.col("conv_id").alias("doc_id"), "text"
+    )
+    vocab_df, _ = bpe_vocab(docs.limit(200), "text")
+    return bpe_encode_ids(docs, "doc_id", "text", vocab_df)
+
+
 def main() -> None:
     spark = get_spark(app_name="dump-plans", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -412,6 +422,16 @@ def main() -> None:
             "Exchange anywhere in the plan — the family costs one shared "
             "pass regardless of rule count, and the summary variant is "
             "the same expressions under ONE partial-aggregated agg.",
+        ),
+        (
+            "BPE integer token ids (encode)",
+            _bpe_ids(spark, df),
+            "The replace-chain stream and the token posexplode are "
+            "projections over the scan (whole-stage codegen, no Python); "
+            "the metadata-sized vocab joins as a BroadcastHashJoin (never "
+            "shuffles); the ONLY Exchange is the groupBy that reassembles "
+            "ids in position order, keyed by the internal row id so "
+            "duplicate document keys stay per-row.",
         ),
     ]
 

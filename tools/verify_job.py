@@ -632,6 +632,36 @@ n_removed = ld_rep.agg(F.sum("n_repeated")).first()[0]
 print(f"line dedup: banner removed from all 120 docs; "
       f"{n_removed} repeated lines total")
 
+from ndap_data_validator_spark.operators.repeated import substring_dedup
+
+# substring-level CUT (Lee et al.): the same appended slogan must survive
+# in EXACTLY ONE doc (the min-id canonical owner) and be cut everywhere
+# else, with every cleaned doc reassembling losslessly around the cut
+# deterministic doc set (limit() picks different rows per ACTION, and the
+# canonical-owner assertion below compares across actions)
+sd_in = docs.dropDuplicates(["doc_id"]).where(
+    F.col("doc_id") < "conv-000120"
+).select(
+    "doc_id",
+    F.concat(
+        F.col("text"),
+        F.lit(" all rights reserved standard footer boilerplate text"),
+    ).alias("text"),
+)
+sd_n = sd_in.count()
+sd_clean, sd_rep = substring_dedup(sd_in, n=5, min_docs=2)
+assert sd_rep.count() == sd_n > 1
+n_keep = sd_clean.where(F.col("text").contains("rights reserved")).count()
+assert n_keep == 1, n_keep
+canon = sd_in.agg(F.min("doc_id")).first()[0]
+keeper = sd_clean.where(F.col("text").contains("rights reserved")).first()
+assert keeper["doc_id"] == canon, (keeper["doc_id"], canon)
+assert sd_rep.where(
+    (F.col("doc_id") != canon) & (F.col("n_removed") < 1)
+).count() == 0
+print(f"substring dedup: slogan kept only in canonical {canon}; "
+      f"{sd_rep.agg(F.sum('n_removed')).first()[0]} tokens cut corpus-wide")
+
 from ndap_data_validator_spark.operators.dsir import dsir_select
 
 # DSIR: target = the clean (pos) class; raw = clean + vowel-mangled clones.
