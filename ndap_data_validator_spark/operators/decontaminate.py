@@ -328,3 +328,117 @@ def decontaminate_bloom(
             ).alias("contaminated"),
         )
     )
+
+
+# -------------------------------------------- inline gate (streaming shape)
+
+def bloom_words(bitset: DataFrame, m_bits: int = 1 << 20) -> list[int]:
+    """Collect a :func:`bloom_bitset` frame into the DENSE driver-side
+    word array the inline gate embeds (index = word, 0 for unset words):
+    ``m_bits/32`` longs ≈ 256 KiB at the default size — a constant the
+    driver holds and ships in the plan once, exactly like the BPE merge
+    table. For filters too big to inline, the broadcast-join path
+    (:func:`decontaminate_bloom`) is the shape."""
+    words = [0] * (m_bits // 32)
+    for r in bitset.select("word", "bits").collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_gate(
+    text: "F.Column",
+    words: list[int],
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: int = 42,
+    bloom_seed: int = 101,
+    hash_fn: str = "xxhash64",
+    max_hit_ratio: float = 0.0,
+):
+    """Row-local Bloom contamination gate as ONE struct Column
+    ``(n_ngrams, n_hits, hit_ratio, contaminated)`` — a pure projection:
+    no explode, no join, no shuffle, no state. Bit-identical to
+    :func:`decontaminate_bloom` over the same bitset (same shingles,
+    same k probe hashes, same 32-bit word arithmetic), but the bitset
+    lives as an array LITERAL so membership is ``element_at`` instead of
+    a join.
+
+    Because it is stateless it runs unchanged on a STREAMING frame in
+    append mode with no watermark — the filter-the-crawl-as-it-arrives
+    shape (see :func:`decontaminate_bloom_stream`). NULL text → NULL
+    struct (batch explode paths drop such docs; callers filter)."""
+    words_lit = F.lit(words)
+    masks_lit = F.lit([1 << b for b in range(32)])
+
+    def _hit(h):
+        cond = F.lit(True)
+        for j in range(k):
+            if hash_fn == "md5":
+                pos = portable_hash64(
+                    F.concat(F.lit(f"{j}#"), h.cast("string")),
+                    seed=bloom_seed,
+                )
+            else:
+                pos = F.abs(F.xxhash64(h, F.lit(j), F.lit(bloom_seed)))
+            pos = F.pmod(pos, F.lit(m_bits))
+            word = F.element_at(
+                words_lit, (pos / F.lit(32)).cast("int") + F.lit(1)
+            )
+            mask = F.element_at(
+                masks_lit, (pos % F.lit(32)).cast("int") + F.lit(1)
+            )
+            cond = cond & (word.bitwiseAND(mask) == mask)
+        return cond
+
+    grams = shingles(text, n)
+    hashes = F.transform(grams, lambda g: _hash64(g, seed, hash_fn))
+    n_ngrams = F.size(grams)
+    n_hits = F.size(F.filter(hashes, _hit))
+    ratio = F.round(
+        n_hits.cast("double") / n_ngrams.cast("double"), 4
+    )
+    return F.when(
+        text.isNull(),
+        F.lit(None).cast(
+            "struct<n_ngrams:int,n_hits:int,hit_ratio:double,"
+            "contaminated:boolean>"
+        ),
+    ).otherwise(
+        F.struct(
+            n_ngrams.alias("n_ngrams"),
+            n_hits.alias("n_hits"),
+            ratio.alias("hit_ratio"),
+            (n_hits.cast("double") / n_ngrams.cast("double")
+             > F.lit(max_hit_ratio)).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_bloom_stream(
+    docs: DataFrame,
+    words: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **gate_kwargs,
+) -> DataFrame:
+    """:func:`decontaminate_bloom`'s output contract
+    (id, n_ngrams, n_hits, hit_ratio, contaminated) from the inline
+    :func:`bloom_gate` — works identically on a batch frame and on a
+    ``readStream`` frame (stateless projection → append mode, no
+    watermark, no state store). Docs with NULL text drop out, matching
+    the batch explode paths. At 100 TB of arriving crawl this is the
+    production gate: the Bloom constant rides the closure, every
+    executor filters its own rows, nothing shuffles."""
+    gate = bloom_gate(F.col(text_col), words, **gate_kwargs)
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), gate.alias("__g"))
+        .select(
+            id_col,
+            F.col("__g.n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("__g.n_hits").cast("long").alias("n_hits"),
+            F.col("__g.hit_ratio").alias("hit_ratio"),
+            F.col("__g.contaminated").alias("contaminated"),
+        )
+    )

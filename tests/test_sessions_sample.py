@@ -321,3 +321,46 @@ def test_bloom_bitset_is_fixed_size(spark):
     # every mask is a valid 32-bit word (no sign-bit edge case)
     mx = bs.agg(F.max("bits"), F.min("bits")).first()
     assert 0 <= mx[1] and mx[0] < (1 << 32)
+
+
+def test_bloom_gate_inline_matches_join_path(spark):
+    """The pure-projection inline gate (bitset as an array literal) is
+    bit-identical to the broadcast-join path on the same bitset, for
+    both hash functions."""
+    from ndap_data_validator_spark.operators.decontaminate import (
+        benchmark_ngram_hashes,
+        bloom_bitset,
+        bloom_words,
+        decontaminate_bloom,
+        decontaminate_bloom_stream,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "prefix words then the quick brown fox jumps over the "
+                "lazy dog tonight and more trailing text here"),
+            (3, "completely unrelated content about spark query planning "
+                "and shuffle partitioning strategies at scale"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    m = 1 << 16
+    for hash_fn in ("xxhash64", "md5"):
+        bh = benchmark_ngram_hashes(bench, n=8, seed=1, hash_fn=hash_fn)
+        bs = bloom_bitset(bh, m_bits=m, k=3, hash_fn=hash_fn)
+        words = bloom_words(bs, m_bits=m)
+        join_path = {r["doc_id"]: r for r in decontaminate_bloom(
+            docs, bs, n=8, m_bits=m, k=3, seed=1, hash_fn=hash_fn
+        ).collect()}
+        inline = {r["doc_id"]: r for r in decontaminate_bloom_stream(
+            docs, words, n=8, m_bits=m, k=3, seed=1, hash_fn=hash_fn
+        ).collect()}
+        assert set(inline) == set(join_path) == {1, 2, 3}  # NULL drops
+        for d in (1, 2, 3):
+            assert inline[d].asDict() == join_path[d].asDict(), (hash_fn, d)

@@ -587,6 +587,29 @@ n_words = bl_bs.count()
 assert n_words <= (1 << 20) // 32
 print("bloom decontamination:", bl_flag, "flagged,", n_words, "bitset words")
 
+# the inline (array-literal) gate is the STREAMING shape — batch result
+# must be bit-identical to the join path on the same bitset
+from ndap_data_validator_spark.operators.decontaminate import (
+    bloom_words,
+    decontaminate_bloom_stream,
+)
+
+bl_words = bloom_words(bl_bs, m_bits=1 << 20)
+bl_inline = decontaminate_bloom_stream(
+    docs, bl_words, n=8, m_bits=1 << 20, k=3, seed=3
+)
+mism = (
+    bl_inline.withColumnRenamed("contaminated", "c2")
+    .select("doc_id", "c2", "n_hits")
+    .join(bl.select("doc_id", "contaminated", F.col("n_hits").alias("h1")),
+          "doc_id")
+    .where((F.col("c2") != F.col("contaminated"))
+           | (F.col("n_hits") != F.col("h1")))
+    .count()
+)
+assert mism == 0, mism
+print("bloom inline gate: agrees with join path on", bl.count(), "docs")
+
 from ndap_data_validator_spark.operators.dedup import (
     dedup_incremental_batch,
     minhash_index,
