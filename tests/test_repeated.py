@@ -188,3 +188,77 @@ def test_substring_dedup_md5_receipt_and_hash_parity(spark):
             rep[2]["cleaned_md5"]
             == hashlib.md5(b"x y z w").hexdigest()
         )
+
+
+def _py_substring_dedup(docs, n, min_docs=2):
+    """Independent pure-Python reference for substring_dedup (raw gram
+    strings instead of 64-bit hashes — equivalent modulo collisions)."""
+    import re
+
+    toks = {}
+    for i, t in docs:
+        if t is None:
+            continue
+        toks[i] = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+    grams = {}  # doc -> [(pos, gram)]
+    gram_docs = {}
+    for i, w in toks.items():
+        k = len(w) - (n - 1)
+        if k <= 0:
+            g = [(1, " ".join(w))]
+        else:
+            g = [(p, " ".join(w[p - 1 : p - 1 + n])) for p in range(1, k + 1)]
+        grams[i] = g
+        for _, s in g:
+            gram_docs.setdefault(s, set()).add(i)
+    repeated = {s for s, d in gram_docs.items() if len(d) >= min_docs}
+    canon = {s: min(d) for s, d in gram_docs.items() if s in repeated}
+    out = {}
+    for i, w in toks.items():
+        T = len(w)
+        covered = set()
+        for p, s in grams[i]:
+            if s in repeated and i != canon[s]:
+                covered.update(range(p, min(p + n - 1, T) + 1))
+        kept = [w[j - 1] for j in range(1, T + 1) if j not in covered]
+        runs, cur = [], 0
+        for j in range(1, T + 1):
+            cur = cur + 1 if j in covered else 0
+            runs.append(cur)
+        out[i] = {
+            "n_tokens": T,
+            "n_removed": len(covered),
+            "max_removed_run": max(runs) if runs else 0,
+            "text": " ".join(kept),
+        }
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_substring_dedup_fuzz_matches_python_oracle(spark, seed):
+    import random
+
+    from ndap_data_validator_spark.operators.repeated import substring_dedup
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = []
+    for i in range(10):
+        if i == 7:
+            rows.append((i, None))
+            continue
+        w = [rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+        rows.append((i, " ".join(w)))
+    rows.append((10, rows[2][1]))  # a verbatim clone of doc 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned, report = substring_dedup(df, n=3, min_docs=2)
+    exp = _py_substring_dedup(rows, n=3, min_docs=2)
+    got_text = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    got_rep = {r["doc_id"]: r.asDict() for r in report.collect()}
+    assert set(got_text) == set(exp)
+    for i, e in exp.items():
+        assert got_text[i] == e["text"], (seed, i)
+        g = got_rep[i]
+        assert (g["n_tokens"], g["n_removed"], g["max_removed_run"]) == (
+            e["n_tokens"], e["n_removed"], e["max_removed_run"]
+        ), (seed, i)
