@@ -586,7 +586,17 @@ def q_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (role <> 'error' OR value < 100) — standard-SQL CHECK semantics (only
     definite FALSE violates; NULL passes), evaluated in one scan-level
     projection with ZERO shuffles; rows union under the same
-    (conv_id, turn_idx, check) contract."""
+    (conv_id, turn_idx, check) contract.
+
+    PLUS (late r05) JSON payload conformance (operators/jsonschema.py) —
+    the tool-call-arguments check a transcript validator needs: each turn
+    carries a synthesized JSON payload with replayable planted defects
+    (event_id%13: malformed / required-field-absent / wrong-typed field),
+    classified malformed vs missing vs type-error via the
+    get_json_object-probe + from_json pairing, unpivoted to long rows
+    ('json_malformed', 'json_missing_<f>', 'json_type_<f>') — also a
+    zero-shuffle scan-level projection; DuckDB replays it with
+    json_valid/json_extract/TRY_CAST."""
     from ndap_data_validator_spark.operators.checks import check_violations
     from ndap_data_validator_spark.operators.convchecks import sequence_checks
     from ndap_data_validator_spark.rules.model import CheckRule
@@ -627,7 +637,75 @@ def q_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         key_cols=("conv_id", "turn_idx"),
     )
-    return seq.unionByName(chk)
+    from ndap_data_validator_spark.operators.jsonschema import (
+        json_schema_report,
+    )
+
+    # PLUS (late r05) JSON payload conformance (operators/jsonschema.py):
+    # every turn carries a synthesized tool-call arguments payload with
+    # replayable planted defects — event_id%13==0 malformed JSON, ==1 the
+    # required 'tool' field absent, ==2 'retries' present as a non-numeric
+    # string (type error). Long-form rows under the same contract;
+    # 'tool' can never type-error on this data, so the oracle only
+    # mirrors the retries type leg.
+    _eid = F.col("event_id")
+    pay = (
+        F.when(_eid % 13 == 0, F.lit('{"tool": broken'))
+        .when(
+            _eid % 13 == 1,
+            F.concat(
+                F.lit('{"retries":'), (_eid % 5).cast("string"), F.lit("}")
+            ),
+        )
+        .when(
+            _eid % 13 == 2,
+            F.concat(
+                F.lit('{"tool":"t-'),
+                _eid.cast("string"),
+                F.lit('","retries":"lots"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"tool":"t-'),
+                _eid.cast("string"),
+                F.lit('","retries":'),
+                (_eid % 5).cast("string"),
+                F.lit("}"),
+            )
+        )
+    )
+    rep = json_schema_report(
+        t.select("conv_id", "turn_idx", pay.alias("payload")),
+        "payload",
+        "tool string, retries int",
+        required=("tool", "retries"),
+        id_cols=("conv_id", "turn_idx"),
+    )
+    _empty = F.array().cast("array<string>")
+    jv = rep.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.concat(
+                F.when(
+                    ~F.col("parse_ok"), F.array(F.lit("json_malformed"))
+                ).otherwise(_empty),
+                F.when(
+                    F.col("parse_ok"),
+                    F.transform(
+                        "missing",
+                        lambda m: F.concat(F.lit("json_missing_"), m),
+                    ),
+                ).otherwise(_empty),
+                F.transform(
+                    "type_errors",
+                    lambda m: F.concat(F.lit("json_type_"), m),
+                ),
+            )
+        ).alias("check"),
+    )
+    return seq.unionByName(chk).unionByName(jv)
 
 
 def q_dtype_coercion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3196,7 +3274,21 @@ def oracle_sql() -> dict[str, str]:
                LAG(turn_idx) OVER w AS pturn,
                LAG(ts) OVER w AS pts,
                LAG(role) OVER w AS prole
-        FROM t2 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        FROM t2 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+      jsonp AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN event_id % 13 = 0 THEN '{"tool": broken'
+                    WHEN event_id % 13 = 1
+                      THEN '{"retries":' || CAST(event_id % 5 AS VARCHAR)
+                           || '}'
+                    WHEN event_id % 13 = 2
+                      THEN '{"tool":"t-' || CAST(event_id AS VARCHAR)
+                           || '","retries":"lots"}'
+                    ELSE '{"tool":"t-' || CAST(event_id AS VARCHAR)
+                         || '","retries":' || CAST(event_id % 5 AS VARCHAR)
+                         || '}'
+               END AS payload
+        FROM t2)
       SELECT conv_id, turn_idx, 'order_gap' AS "check"
         FROM l WHERE turn_idx != pturn + 1
       UNION ALL
@@ -3212,6 +3304,23 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT conv_id, turn_idx, 'error_low_value'
         FROM t2 WHERE (role <> 'error' OR value < 100) IS FALSE
+      UNION ALL
+      SELECT conv_id, turn_idx, 'json_malformed'
+        FROM jsonp WHERE NOT json_valid(payload)
+      UNION ALL
+      SELECT conv_id, turn_idx, 'json_missing_tool' FROM jsonp
+        WHERE json_valid(payload)
+          AND json_extract(payload, '$.tool') IS NULL
+      UNION ALL
+      SELECT conv_id, turn_idx, 'json_missing_retries' FROM jsonp
+        WHERE json_valid(payload)
+          AND json_extract(payload, '$.retries') IS NULL
+      UNION ALL
+      SELECT conv_id, turn_idx, 'json_type_retries' FROM jsonp
+        WHERE json_valid(payload)
+          AND json_extract(payload, '$.retries') IS NOT NULL
+          AND TRY_CAST(json_extract_string(payload, '$.retries') AS INTEGER)
+              IS NULL
     """
 
     ri_orphans = """

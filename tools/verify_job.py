@@ -824,6 +824,42 @@ assert chk_sum["turn_bounded"]["passed"]
 print(f"check rules: {chk_sum['turn_nonneg']['n_violations']} injected "
       f"negative turns caught, turn_bounded passed")
 
+from ndap_data_validator_spark.operators.jsonschema import (
+    json_schema_report,
+    json_schema_summary,
+)
+
+# JSON payload conformance: synthesize tool-call arguments from the
+# transcript's tool column with planted defects — malformed every 9th
+# turn, missing required field every 9th+1, wrong-typed every 9th+2
+_jm = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(9))
+jdf = df.where(F.col("tool").isNotNull()).select(
+    "conv_id",
+    "turn_idx",
+    F.when(_jm == 0, F.lit('{"name": oops'))
+    .when(_jm == 1, F.lit('{"retries": 2}'))
+    .when(_jm == 2, F.concat(F.lit('{"name":"'), F.col("tool"),
+                             F.lit('","retries":"x"}')))
+    .otherwise(F.concat(F.lit('{"name":"'), F.col("tool"),
+                        F.lit('","retries":1}')))
+    .alias("payload"),
+)
+jsum = json_schema_summary(
+    jdf, "payload", "name string, retries int", required=("name", "retries")
+).first()
+assert jsum["n_malformed"] > 0 and jsum["n_missing_required"] > 0
+assert jsum["n_type_errors"] > 0 and jsum["n_ok"] > 0
+assert (jsum["n_ok"] + jsum["n_malformed"] + jsum["n_missing_required"]
+        + jsum["n_type_errors"] >= jsum["n_rows"])  # malformed⇒missing too
+jrep = json_schema_report(
+    jdf, "payload", "name string, retries int",
+    required=("name", "retries"), id_cols=("conv_id", "turn_idx"),
+)
+assert jrep.where(F.col("json_ok")).count() == jsum["n_ok"]
+print(f"json payloads: {jsum['n_rows']} checked — {jsum['n_malformed']} "
+      f"malformed, {jsum['n_missing_required']} missing-required, "
+      f"{jsum['n_type_errors']} type errors, {jsum['n_ok']} ok")
+
 from ndap_data_validator_spark.operators.skew import key_skew_report
 
 # key-skew diagnostic on the generated transcripts: the generator's hot
