@@ -84,7 +84,7 @@ def json_schema_report(
     )
     raw_has = {
         name: F.get_json_object(raw, f"$.{name}").isNotNull()
-        for name in fields
+        for name in {*fields, *required}
     }
     missing = F.array_compact(
         F.array(

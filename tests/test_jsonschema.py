@@ -92,3 +92,21 @@ def test_no_shuffle_in_report_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_required_field_outside_ddl(spark):
+    """A required name absent from the DDL is still presence-checked on
+    the raw payload (it just can't be type-checked)."""
+    df = spark.createDataFrame(
+        [(1, '{"name":"x","extra":1}'), (2, '{"name":"x"}')],
+        "id int, payload string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in json_schema_report(
+            df, "payload", "name string", required=("name", "extra"),
+            id_cols=("id",),
+        ).collect()
+    }
+    assert out[1]["missing"] == [] and out[1]["json_ok"] is True
+    assert out[2]["missing"] == ["extra"] and out[2]["json_ok"] is False
