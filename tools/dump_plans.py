@@ -123,6 +123,27 @@ def _training_order(spark, df):
     )
 
 
+def _json_report(spark, df):
+    from ndap_data_validator_spark.operators.jsonschema import (
+        json_schema_report,
+    )
+
+    jdf = df.where(F.col("tool").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.concat(
+            F.lit('{"name":"'), F.col("tool"), F.lit('","retries":1}')
+        ).alias("payload"),
+    )
+    return json_schema_report(
+        jdf,
+        "payload",
+        "name string, retries int",
+        required=("name", "retries"),
+        id_cols=("conv_id", "turn_idx"),
+    )
+
+
 def _bpe_ids(spark, df):
     from ndap_data_validator_spark.functions.bpe import bpe_encode_ids, bpe_vocab
 
@@ -422,6 +443,15 @@ def main() -> None:
             "Exchange anywhere in the plan — the family costs one shared "
             "pass regardless of rule count, and the summary variant is "
             "the same expressions under ONE partial-aggregated agg.",
+        ),
+        (
+            "JSON payload validation (report)",
+            _json_report(spark, df),
+            "Well-formedness probe, presence probes, and the typed "
+            "from_json parse all evaluate inside one whole-stage-codegen "
+            "projection over the scan — NO Exchange anywhere in the "
+            "per-row report plan (the summary adds one partial-aggregated "
+            "1-row agg).",
         ),
         (
             "BPE integer token ids (encode)",
