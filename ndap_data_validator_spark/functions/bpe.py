@@ -186,10 +186,9 @@ def bpe_vocab(
         seen.add(prod)
         vocab.append((next_id, prod))
         next_id += 1
-    vocab_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(vocab, numSlices=1),
-        "token_id int, token string",
-    )
+    from ndap_data_validator_spark.session import literal_frame
+
+    vocab_df = literal_frame(spark, vocab, "token_id int, token string")
     return vocab_df, len(base)
 
 
