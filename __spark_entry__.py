@@ -566,10 +566,19 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQ_ROLES = ("click", "error", "purchase", "signup", "view")
+_SEQ_TRANSITIONS = frozenset(
+    (a, b) for a in _SEQ_ROLES for b in _SEQ_ROLES if b != "signup"
+)
+
+
 def q_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r05 — conversation-order sequence checks (operators/convchecks.py),
     the transcript-shaped window rules the north_rule's payload needs beyond
-    per-row checks: order gaps, ts regressions, role repeats, long silences.
+    per-row checks: order gaps, ts regressions, role repeats, long
+    silences, and the role-transition FSM ('bad_transition': 'signup' may
+    only open a conversation — the "a tool turn must follow an assistant
+    turn" rule class).
 
     Events is deterministically reshaped into a transcript frame (conv_id=
     user_id, turn_idx=row_number per user by event_id, role=event_type),
@@ -628,6 +637,13 @@ def q_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         role_col="role",
         expected_step=1,
         max_gap_sec=500 * 3600,
+        # role-transition FSM (late r05): 'signup' may only OPEN a
+        # conversation — any transition INTO it violates. The whitelist is
+        # every (prev, cur) pair over the five event roles with
+        # cur != 'signup'; compiled to a codegen disjunction in Spark and
+        # rendered as row-value IN in the oracle (identical NULL
+        # semantics: UNKNOWN membership passes).
+        allowed_transitions=_SEQ_TRANSITIONS,
     )
     chk = check_violations(
         t,
@@ -3299,6 +3315,10 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT conv_id, turn_idx, 'role_repeat' FROM l WHERE role = prole
       UNION ALL
+      SELECT conv_id, turn_idx, 'bad_transition' FROM l
+        WHERE prole IS NOT NULL
+          AND NOT ((prole, role) IN (__SEQ_PAIRS__))
+      UNION ALL
       SELECT conv_id, turn_idx, 'value_cap'
         FROM t2 WHERE (value <= 400) IS FALSE
       UNION ALL
@@ -3322,6 +3342,14 @@ def oracle_sql() -> dict[str, str]:
           AND TRY_CAST(json_extract_string(payload, '$.retries') AS INTEGER)
               IS NULL
     """
+    # render the FSM whitelist as row-value IN pairs — the same literal
+    # set q_sequence_checks compiles to a Catalyst disjunction
+    sequence_checks = sequence_checks.replace(
+        "__SEQ_PAIRS__",
+        ", ".join(
+            f"('{a}', '{b}')" for a, b in sorted(_SEQ_TRANSITIONS)
+        ),
+    )
 
     ri_orphans = """
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS violation_count

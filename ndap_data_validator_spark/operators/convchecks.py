@@ -42,6 +42,7 @@ def sequence_checks(
     role_col: str | None = None,
     expected_step: int | None = None,
     max_gap_sec: float | None = None,
+    allowed_transitions: frozenset[tuple[str, str]] | None = None,
     carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-key sequence-violation rows: ``(*carry_cols, key, order, check)``.
@@ -59,7 +60,16 @@ def sequence_checks(
 
     Checks are enabled by passing their inputs: ``expected_step`` turns on
     ``order_gap``; ``ts_col`` turns on ``ts_regression``; ``role_col`` turns
-    on ``role_repeat``; ``ts_col``+``max_gap_sec`` turns on ``long_gap``.
+    on ``role_repeat``; ``ts_col``+``max_gap_sec`` turns on ``long_gap``;
+    ``role_col``+``allowed_transitions`` turns on ``bad_transition`` — the
+    role-transition FSM rule (e.g. "a tool turn must follow an assistant
+    turn", "signup can only open a conversation"): a turn violates when the
+    previous turn exists and ``(prev_role, role)`` is not in the whitelist.
+    The membership test compiles to a disjunction of literal-pair
+    conjunctions (no separator-collision assumption on role values, stays
+    inside whole-stage codegen); a NULL role on either side makes the
+    membership UNKNOWN, which passes — same NULL-is-not-a-violation
+    contract as every other check here and as SQL row-value ``IN``.
     """
     w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
     prev_order = F.lag(order_col).over(w)
@@ -93,6 +103,19 @@ def sequence_checks(
         checks.append(
             F.when(F.col(role_col) == prev_role, F.lit("role_repeat"))
         )
+        if allowed_transitions is not None:
+            member = F.lit(False)
+            for a, b in sorted(allowed_transitions):
+                member = member | (
+                    (prev_role == F.lit(a)) & (F.col(role_col) == F.lit(b))
+                )
+            checks.append(
+                F.when(
+                    prev_role.isNotNull() & ~member, F.lit("bad_transition")
+                )
+            )
+    elif allowed_transitions is not None:
+        raise ValueError("allowed_transitions requires role_col")
     if not checks:
         raise ValueError("no sequence checks enabled")
 
@@ -128,6 +151,7 @@ def check_sequence_rule(
         role_col=rule.role_column,
         expected_step=rule.expected_step,
         max_gap_sec=rule.max_gap_sec,
+        allowed_transitions=rule.allowed_transitions,
         carry_cols=carry_cols,
     )
 

@@ -112,6 +112,12 @@ class SequenceRule:
     role_column: str | None = None
     expected_step: int | None = None
     max_gap_sec: float | None = None
+    # role-transition FSM whitelist (needs role_column): a turn violates
+    # ('bad_transition') when the previous turn exists and
+    # (prev_role, role) is not in this set — the "a tool turn must follow
+    # an assistant turn" class of rule. frozenset so the rule stays
+    # hashable (the dataclass is frozen and digested into the checkpoint).
+    allowed_transitions: frozenset[tuple[str, str]] | None = None
 
 
 @dataclass(frozen=True)

@@ -132,3 +132,53 @@ def test_on_generated_transcripts(spark):
     assert by_check.get("order_gap", 0) > 0
     # every violation row carries a real check label
     assert set(by_check) <= {"order_gap", "ts_regression", "role_repeat"}
+
+
+def test_bad_transition_fsm(spark):
+    """Role-transition whitelist: a 'tool' turn must follow 'assistant';
+    NULL roles make membership UNKNOWN, which passes (SQL row-value IN
+    semantics); the first turn of a key never violates."""
+    allowed = frozenset(
+        [
+            ("user", "assistant"),
+            ("assistant", "user"),
+            ("assistant", "tool"),
+            ("tool", "assistant"),
+        ]
+    )
+    rows = [
+        ("A", 0, "user"),
+        ("A", 1, "assistant"),
+        ("A", 2, "tool"),       # assistant→tool: allowed
+        ("A", 3, "assistant"),
+        ("B", 0, "user"),
+        ("B", 1, "tool"),       # user→tool: NOT allowed
+        ("B", 2, "assistant"),
+        ("C", 0, "tool"),       # first turn: lag NULL, never violates
+        ("C", 1, None),         # tool→NULL: UNKNOWN membership, passes
+        ("C", 2, "user"),       # NULL→user: UNKNOWN membership, passes
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {
+        (r.conv_id, r.turn_idx, r.check)
+        for r in sequence_checks(
+            df,
+            key_col="conv_id",
+            order_col="turn_idx",
+            role_col="role",
+            allowed_transitions=allowed,
+        ).collect()
+    }
+    assert got == {("B", 1, "bad_transition")}
+
+
+def test_bad_transition_requires_role_col(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="role_col"):
+        sequence_checks(
+            _conv(spark),
+            key_col="conv_id",
+            order_col="turn_idx",
+            allowed_transitions=frozenset([("user", "assistant")]),
+        )

@@ -754,6 +754,20 @@ rep_counts = {r["check"]: r["n_violations"] for r in sequence_report(
 assert rep_counts == seq_counts, (rep_counts, seq_counts)
 print(f"sequence checks: {seq_counts}")
 
+# role-transition FSM: the generator cycles user→assistant→tool, so that
+# 3-cycle is the whitelist; injected bad roles ('sys?', ''), duplicate
+# turns (self-transitions), and contiguity holes (e.g. user→tool) all
+# land outside it — bad_transition MUST fire, and MUST exceed the
+# role_repeat count (repeats are a strict subset of FSM breaks here)
+fsm = frozenset([("user", "assistant"), ("assistant", "tool"), ("tool", "user")])
+fsm_counts = {r["check"]: r["n"] for r in sequence_checks(
+    df, key_col="conv_id", order_col="turn_idx", role_col="role",
+    allowed_transitions=fsm,
+).groupBy("check").agg(F.count(F.lit(1)).alias("n")).collect()}
+assert fsm_counts.get("bad_transition", 0) > 0, fsm_counts
+assert fsm_counts["bad_transition"] >= fsm_counts.get("role_repeat", 0)
+print(f"role-transition FSM: {fsm_counts}")
+
 from ndap_data_validator_spark.operators.drift import categorical_drift
 
 # categorical drift: role distribution between the two halves of the
