@@ -120,6 +120,12 @@ def run_validation(
     engine = ValidationEngine(catalog=catalog, schema_name=schema_name)
     run_id = run_id or new_run_id()
     digest = assignment_digest(assignments, engine.catalog, engine.schema_name)
+    # compose in the run's sequence/CHECK rules (identity when absent):
+    # changing ANY rule family must invalidate 'done' partitions, or a
+    # resume would mix rule versions within one report
+    from ndap_data_validator_spark.rules.model import run_rule_digest
+
+    digest = run_rule_digest(digest, sequence_rule, check_rules)
     store = CheckpointStore(spark, checkpoint_path)
 
     key = partition_key(partition_by)

@@ -238,3 +238,40 @@ def assignment_digest(
     }
     canonical = json.dumps(payload, sort_keys=True, separators=(",", ":"))
     return hashlib.sha256(canonical.encode("utf-8")).hexdigest()
+
+
+def run_rule_digest(
+    base_digest: str,
+    sequence_rule: SequenceRule | None = None,
+    check_rules: list[CheckRule] | None = None,
+) -> str:
+    """The FULL rule identity of a checkpointed run: the per-column
+    assignment digest composed with the run's SequenceRule and CheckRules.
+    Without these, a re-run whose sequence/CHECK rules changed would still
+    skip 'done' partitions and leave a report mixing rule versions — the
+    exact staleness the rule digest exists to prevent.
+
+    Identity property: with no sequence/CHECK rules the base digest is
+    returned UNCHANGED, so checkpoints written before (or without) these
+    rule families stay valid for the classic per-column path."""
+    if sequence_rule is None and not check_rules:
+        return base_digest
+    payload = {
+        "base": base_digest,
+        "sequence": None
+        if sequence_rule is None
+        else {
+            "key": sequence_rule.key_column,
+            "order": sequence_rule.order_column,
+            "ts": sequence_rule.ts_column,
+            "role": sequence_rule.role_column,
+            "step": sequence_rule.expected_step,
+            "max_gap": sequence_rule.max_gap_sec,
+            "transitions": None
+            if sequence_rule.allowed_transitions is None
+            else sorted(list(p) for p in sequence_rule.allowed_transitions),
+        },
+        "checks": [[c.name, c.expression] for c in (check_rules or [])],
+    }
+    canonical = json.dumps(payload, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha256(canonical.encode("utf-8")).hexdigest()

@@ -510,3 +510,54 @@ def test_sequence_rule_violations_written_and_resume_safe(spark, tdf, tmp_path):
     b = spark.read.parquet(str(tmp_path / "r2/sequence_violations"))
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sequence_and_check_rules_in_digest(spark, tdf, tmp_path):
+    """Changing a CheckRule or SequenceRule invalidates 'done' partitions
+    (they are part of the run's rule identity); the classic path (no such
+    rules) keeps the bare assignment digest, so its checkpoints are
+    untouched by the composition."""
+    from ndap_data_validator_spark.rules.model import (
+        CheckRule,
+        SequenceRule,
+        run_rule_digest,
+    )
+
+    base = "d" * 64
+    assert run_rule_digest(base) == base  # identity without extra rules
+    seq = SequenceRule("conv_id", "turn_idx", expected_step=1)
+    chk = [CheckRule("cap", "turn_idx <= 100")]
+    d1 = run_rule_digest(base, seq, chk)
+    assert d1 != base
+    # deterministic, and sensitive to each family independently
+    assert d1 == run_rule_digest(base, seq, chk)
+    assert d1 != run_rule_digest(base, None, chk)
+    assert d1 != run_rule_digest(base, seq, [CheckRule("cap", "turn_idx <= 99")])
+    fsm = SequenceRule(
+        "conv_id", "turn_idx", role_column="role",
+        allowed_transitions=frozenset([("user", "assistant")]),
+    )
+    assert run_rule_digest(base, fsm) != run_rule_digest(base, seq)
+
+    ckpt = str(tmp_path / "ckpt")
+    run_id = new_run_id()
+    out1 = run_validation(
+        spark, tdf, ASSIGNS, PART(), checkpoint_path=ckpt, run_id=run_id,
+        check_rules=chk, report_path=str(tmp_path / "rep"),
+        order_by=["conv_id", "turn_idx"],
+    )
+    assert out1.skipped_partitions == []
+    # same rules → everything skipped
+    out2 = run_validation(
+        spark, tdf, ASSIGNS, PART(), checkpoint_path=ckpt, run_id=run_id,
+        check_rules=chk, report_path=str(tmp_path / "rep"),
+        order_by=["conv_id", "turn_idx"],
+    )
+    assert set(out2.skipped_partitions) == set(out1.processed_partitions)
+    # changed CHECK expression → nothing skipped
+    out3 = run_validation(
+        spark, tdf, ASSIGNS, PART(), checkpoint_path=ckpt, run_id=run_id,
+        check_rules=[CheckRule("cap", "turn_idx <= 99")],
+        report_path=str(tmp_path / "rep"), order_by=["conv_id", "turn_idx"],
+    )
+    assert out3.skipped_partitions == []
