@@ -44,7 +44,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ndap_data_validator_spark.functions.coercion import (
@@ -299,6 +299,7 @@ class ValidationEngine:
         partition_by: str | Column | None = None,
         order_by: list[str] | None = None,
         cache_aggregates: bool = True,
+        max_violations_per_rule: int | None = None,
     ) -> ValidationResult:
         """Run the full validation query.
 
@@ -307,6 +308,12 @@ class ValidationEngine:
         report row keyed ``<all>``.
         ``order_by`` — stable violation-row ordering key (north_rule: the
         ``(conv_id, turn_idx)`` window); defaults to ``partition_by`` only.
+        ``max_violations_per_rule`` — cap the VIOLATION-ROW output at the
+        first K rows per (partition, column, reason) by the stable order
+        key (requires ``order_by``). At 10^12 turns a single broken rule
+        (or a bad data drop) otherwise floods the report sink with
+        billions of example rows; the full violation COUNTS are unaffected
+        — they come from the aggregate, not from these rows.
         """
         slots = self._slots(df, assignments)
         missing_roles = self._missing_roles(assignments)
@@ -361,7 +368,9 @@ class ValidationEngine:
             ),
         )
 
-        violations = self._violations(df, slots, part_expr, order_by)
+        violations = self._violations(
+            df, slots, part_expr, order_by, max_violations_per_rule
+        )
         coerced = df.select(
             *[s.coercion.value_expr.alias(s.col) for s in slots]
         )
@@ -379,6 +388,7 @@ class ValidationEngine:
         slots: list[_Slot],
         part_expr: Column,
         order_by: list[str] | None,
+        max_violations_per_rule: int | None = None,
     ) -> DataFrame:
         """Per-row violation output: the same compiled predicates, reused as
         filters. Long-form (one row per offending cell), ordered by the
@@ -433,6 +443,29 @@ class ValidationEngine:
             )
             .select("partition_id", *order_cols, "v.column", "v.reason", "v.value")
         )
+        if max_violations_per_rule is not None:
+            if not order_cols:
+                raise ValueError(
+                    "max_violations_per_rule needs order_by (the stable "
+                    "key that defines which K rows are 'first')"
+                )
+            # first K per (partition, column, reason) by the stable order
+            # key, 'value' as the tiebreak so the kept set is deterministic
+            # even through injected duplicate (conv, turn) pairs. Scale
+            # shape: ONE hash exchange on the (already rule-filtered)
+            # violation stream + a streaming row_number — each group's
+            # output is bounded at K, so the downstream report write is
+            # bounded at K × |rules| × |partitions| no matter how badly a
+            # rule (or the data) breaks. Counts stay exact in
+            # per_column_report, which never sees this cap.
+            cap_w = Window.partitionBy(
+                "partition_id", "column", "reason"
+            ).orderBy(*[F.col(c).asc() for c in order_cols], F.col("value").asc())
+            out = (
+                out.withColumn("__rn", F.row_number().over(cap_w))
+                .where(F.col("__rn") <= max_violations_per_rule)
+                .drop("__rn")
+            )
         # sortWithinPartitions after repartitioning on partition_id: rows for
         # one report partition are contiguous AND internally ordered by the
         # stable (conv_id, turn_idx) key — byte-comparable output — without

@@ -70,6 +70,7 @@ def run_validation(
     compact_max_files: int | None = 256,
     sequence_rule=None,
     check_rules: list | None = None,
+    max_violations_per_rule: int | None = None,
 ) -> RunOutcome:
     """Checkpointed validation run.
 
@@ -114,6 +115,11 @@ def run_validation(
     row-level CHECK-constraint violations to
     ``{report_path}/check_violations`` — one scan-level projection, no
     shuffle; ``order_by`` columns identify the violating rows.
+
+    ``max_violations_per_rule`` caps the per-row violation OUTPUT at the
+    first K rows per (partition, column, reason) by the ``order_by`` key —
+    the report-sink guard for 10^12-turn runs where one broken rule would
+    otherwise write billions of example rows; counts stay exact.
     """
     if load_mode not in LOAD_MODES:
         raise ValueError(f"load_mode must be one of {LOAD_MODES}")
@@ -156,7 +162,11 @@ def run_validation(
     remaining = df.where(~key.isin(sorted(done))) if done else df
 
     result = engine.validate(
-        remaining, assignments, partition_by=key, order_by=order_by
+        remaining,
+        assignments,
+        partition_by=key,
+        order_by=order_by,
+        max_violations_per_rule=max_violations_per_rule,
     )
 
     # In delta mode every output dir gains a delta_batch partition level:

@@ -243,3 +243,71 @@ def test_range_and_regex_extensions(spark):
     assert "Value does not match required pattern" in got["code"]["reasons"]
     viol = {(r["column"], r["value"]) for r in result.violations.collect()}
     assert ("population", "300") in viol and ("code", "bad!") in viol
+
+
+def test_violation_cap_per_rule(spark):
+    """max_violations_per_rule keeps the FIRST K violation rows per
+    (partition, column, reason) by the stable order key; aggregate counts
+    in per_column_report are NOT capped."""
+    from ndap_data_validator_spark.operators.validate import ValidationEngine
+    from ndap_data_validator_spark.sources.datagen import transcripts
+
+    t = transcripts(spark, 3_000, 30, seed=42)
+    assigns = [
+        ColumnAssignment("conv_id", "Location"),
+        # bad injected roles ('sys?', '') violate this regex on many rows
+        ColumnAssignment("role", "Others", regex=r"^(user|assistant|tool)$"),
+        ColumnAssignment("turn_idx", "Measures", "integer", min_value=0),
+    ]
+    engine = ValidationEngine()
+    full = engine.validate(
+        t, assigns, partition_by=F.substring("conv_id", 6, 1),
+        order_by=["conv_id", "turn_idx"],
+    )
+    capped = engine.validate(
+        t, assigns, partition_by=F.substring("conv_id", 6, 1),
+        order_by=["conv_id", "turn_idx"], max_violations_per_rule=3,
+    )
+    key = lambda r: (r["partition_id"], r["column"], r["reason"])
+    from collections import defaultdict
+
+    full_rows = defaultdict(list)
+    for r in full.violations.collect():
+        full_rows[key(r)].append(
+            (r["conv_id"], r["turn_idx"], r["value"])
+        )
+    cap_rows = defaultdict(list)
+    for r in capped.violations.collect():
+        cap_rows[key(r)].append((r["conv_id"], r["turn_idx"], r["value"]))
+    assert full_rows and any(len(v) > 3 for v in full_rows.values())
+    for k, rows in cap_rows.items():
+        assert len(rows) <= 3
+        # the kept rows are exactly the first K of the full set, ordered by
+        # the stable key (+ value tiebreak)
+        def _k(t):
+            # NULLS FIRST for every component, matching Spark asc ordering
+            return (
+                t[0] is not None, t[0] or "",
+                t[1] is not None, t[1] if t[1] is not None else 0,
+                t[2] is not None, t[2] or "",
+            )
+
+        want = sorted(full_rows[k], key=_k)[: len(rows)]
+        assert sorted(rows, key=_k) == want
+    # counts NOT capped: the aggregate report is identical either way
+    a = sorted(map(repr, full.per_column_report.collect()))
+    b = sorted(map(repr, capped.per_column_report.collect()))
+    assert a == b
+
+
+def test_violation_cap_requires_order_by(spark):
+    from ndap_data_validator_spark.operators.validate import ValidationEngine
+    from ndap_data_validator_spark.sources.datagen import transcripts
+
+    t = transcripts(spark, 200, 5, seed=1)
+    with pytest.raises(ValueError, match="order_by"):
+        ValidationEngine().validate(
+            t,
+            [ColumnAssignment("conv_id", "Location")],
+            max_violations_per_rule=5,
+        ).violations.count()

@@ -768,6 +768,32 @@ assert fsm_counts.get("bad_transition", 0) > 0, fsm_counts
 assert fsm_counts["bad_transition"] >= fsm_counts.get("role_repeat", 0)
 print(f"role-transition FSM: {fsm_counts}")
 
+# violation-row cap: the report-sink guard for runs where one broken rule
+# floods the sink — first K per (partition, column, reason) by the stable
+# key; aggregate counts must be unaffected
+cap_eng = ValidationEngine()
+cap_assigns = [
+    ColumnAssignment("conv_id", "Location"),
+    ColumnAssignment("role", "Others", regex=r"^(user|assistant|tool)$"),
+    ColumnAssignment("turn_idx", "Measures", "integer", min_value=0),
+]
+cap_res = cap_eng.validate(
+    df, cap_assigns, partition_by=F.substring("conv_id", 6, 1),
+    order_by=["conv_id", "turn_idx"], max_violations_per_rule=5,
+)
+cap_sizes = cap_res.violations.groupBy("partition_id", "column", "reason").agg(
+    F.count(F.lit(1)).alias("n")
+)
+assert cap_sizes.where(F.col("n") > 5).count() == 0
+full_res = cap_eng.validate(
+    df, cap_assigns, partition_by=F.substring("conv_id", 6, 1),
+    order_by=["conv_id", "turn_idx"],
+)
+n_cap, n_full = cap_res.violations.count(), full_res.violations.count()
+assert n_cap < n_full, (n_cap, n_full)
+assert cap_res.per_column_report.exceptAll(full_res.per_column_report).count() == 0
+print(f"violation cap: {n_full} rows -> {n_cap} (first 5 per partition+rule), counts exact")
+
 from ndap_data_validator_spark.operators.drift import categorical_drift
 
 # categorical drift: role distribution between the two halves of the
