@@ -70,3 +70,165 @@ def guess_assignments(df: DataFrame) -> list[ColumnAssignment]:
         for f in df.schema.fields
         for r, mt in [guess_role(f.name, f.dataType)]
     ]
+
+
+# --- data-driven profiling (north-star: rule bootstrap) ---------------------
+#
+# The metadata layer above mirrors the reference's preview-time guess
+# (utils/validation.py:189-197). A 100 TB pipeline also wants the DRAFT
+# CONSTRAINTS a profiler observes in the data itself — null rates, value
+# ranges, low-cardinality domains, and whether a string column is secretly
+# numeric/temporal. One aggregate pass over the table computes all of it
+# (map-side partial agg, one tiny shuffle); a second, tiny pass collects
+# exact domains only for the few columns the sketch says are small.
+
+_REGEX_CANDIDATES: dict[str, str] = {
+    # full-match candidates, CHEAP and portable (same class the coercion
+    # rules use); fraction-of-non-null matched is computed per candidate
+    "integer": r"^[+-]?\d+$",
+    "fractional": r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$",
+    "iso_date": r"^\d{4}-\d{2}-\d{2}$",
+    "iso_datetime": r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?$",
+    "boolean": r"^(?i)(true|false|t|f|yes|no|y|n|0|1)$",
+}
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_domain_size: int = 20,
+) -> list[dict]:
+    """Observed per-column profile, ONE aggregate pass:
+    ``{column, dtype, n, nulls, null_frac, n_distinct_approx, min, max,
+    regex_fracs, domain}``. ``domain`` is the exact sorted value set for
+    string columns whose approx distinct count is ≤ max_domain_size
+    (collected in a second pass restricted to those columns — the partial
+    ``collect_set`` stays bounded because the cardinality is, so the pass
+    is safe at any row count); None elsewhere.
+    """
+    from pyspark.sql import functions as F
+
+    fields = [
+        f for f in df.schema.fields if columns is None or f.name in columns
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c, q = f.name, F.col(f.name)
+        aggs.append(F.count(F.when(q.isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__nd"))
+        if isinstance(f.dataType, _INTEGRAL + _FRACTIONAL + _TEMPORAL):
+            aggs.append(F.min(q).alias(f"{c}__min"))
+            aggs.append(F.max(q).alias(f"{c}__max"))
+        if f.dataType.typeName() == "string":
+            for label, pat in _REGEX_CANDIDATES.items():
+                aggs.append(
+                    F.avg(q.rlike(pat).cast("double")).alias(
+                        f"{c}__re_{label}"
+                    )
+                )
+    row = df.agg(*aggs).first().asDict()
+
+    domain_cols = [
+        f.name
+        for f in fields
+        if f.dataType.typeName() == "string"
+        and row[f"{f.name}__nd"] <= max_domain_size
+    ]
+    domains: dict[str, list] = {}
+    if domain_cols:
+        drow = df.agg(
+            *[
+                F.sort_array(F.collect_set(c)).alias(c)
+                for c in domain_cols
+            ]
+        ).first()
+        for c in domain_cols:
+            vals = list(drow[c])
+            # the sketch can under-count (~5% rsd): trust only exact size
+            if len(vals) <= max_domain_size:
+                domains[c] = vals
+
+    n = row["__n"]
+    out = []
+    for f in fields:
+        c = f.name
+        out.append(
+            {
+                "column": c,
+                "dtype": guess_dtype(f.dataType),
+                "n": n,
+                "nulls": row[f"{c}__nulls"],
+                "null_frac": (row[f"{c}__nulls"] / n) if n else 0.0,
+                "n_distinct_approx": row[f"{c}__nd"],
+                "min": row.get(f"{c}__min"),
+                "max": row.get(f"{c}__max"),
+                "regex_fracs": {
+                    label: row.get(f"{c}__re_{label}")
+                    for label in _REGEX_CANDIDATES
+                    if f"{c}__re_{label}" in row
+                },
+                "domain": domains.get(c),
+            }
+        )
+    return out
+
+
+def profile_and_suggest(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_domain_size: int = 20,
+    regex_threshold: float = 1.0,
+) -> tuple[list[ColumnAssignment], list[dict]]:
+    """Draft rule bootstrap: ``(assignments, profile)``.
+
+    Starts from the reference-parity metadata guess and folds in what the
+    profile observed — a DRAFT a user reviews (exactly the reference's
+    role-assignment UI flow, pre-filled one level deeper):
+      * numeric columns get the observed [min, max] range rule;
+      * small-domain string columns get an ``allowed_values`` rule;
+      * string columns whose non-null values ALL match a numeric candidate
+        are re-drafted as Measures (integer beats fractional when both hit);
+        all-ISO-date/datetime strings are re-drafted as Time;
+      * ``regex_threshold`` < 1.0 loosens the 'all' to a fraction (draft
+        mode for dirty data — the rule will then FLAG the stragglers).
+
+    not_null is deliberately NOT suggested from observed zero nulls: the
+    mandatory-role contract owns nullability, and "no nulls in this
+    snapshot" is the classic profiler false promise.
+    """
+    prof = profile_columns(df, columns, max_domain_size)
+    by_col = {p["column"]: p for p in prof}
+    out = []
+    for f in df.schema.fields:
+        if f.name not in by_col:
+            continue
+        p = by_col[f.name]
+        role, mt = guess_role(f.name, f.dataType)
+        kwargs: dict = {}
+        if p["dtype"] in ("integer", "float") and p["min"] is not None:
+            kwargs["min_value"] = float(p["min"])
+            kwargs["max_value"] = float(p["max"])
+        fr = p["regex_fracs"]
+        if f.dataType.typeName() == "string" and p["nulls"] < p["n"]:
+            if fr.get("integer") is not None and fr["integer"] >= regex_threshold:
+                role, mt = "Measures", "integer"
+            elif (
+                fr.get("fractional") is not None
+                and fr["fractional"] >= regex_threshold
+            ):
+                role, mt = "Measures", "float"
+            elif (
+                fr.get("iso_date", 0) or 0
+            ) >= regex_threshold or (
+                fr.get("iso_datetime", 0) or 0
+            ) >= regex_threshold:
+                role, mt = "Time", None
+        # domain rule only for columns whose FINAL draft role is Others —
+        # a {'0','1'} column re-drafted Measures must not also carry an
+        # allowed-values rule fighting the numeric coercion
+        if p["domain"] is not None and role == "Others":
+            kwargs["allowed_values"] = tuple(p["domain"])
+        out.append(
+            ColumnAssignment(column=f.name, role=role, measure_type=mt, **kwargs)
+        )
+    return out, prof

@@ -123,3 +123,55 @@ def test_nan_string_counts_as_error_and_null(spark):
         F.sum(e.cast("long")).alias("errs"),
     ).first()
     assert row["nulls"] == 2 and row["errs"] == 1
+
+
+def test_profile_and_suggest(spark):
+    """Data-driven rule bootstrap: one-agg profile + draft constraints."""
+    from ndap_data_validator_spark.rules.inference import (
+        profile_and_suggest,
+        profile_columns,
+    )
+
+    rows = [
+        (str(i), "active" if i % 2 else "closed", f"{i}.5",
+         f"2024-01-{(i % 27) + 1:02d}", None if i % 5 == 0 else "x" * i)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, status string, score string, day string, blob string"
+    )
+    assigns, prof = profile_and_suggest(df)
+    by = {a.column: a for a in assigns}
+    # all-digit strings re-draft to Measures/integer; decimals to float
+    assert (by["id"].role, by["id"].measure_type) == ("Measures", "integer")
+    assert (by["score"].role, by["score"].measure_type) == ("Measures", "float")
+    # 'day' name token wins Time at the metadata layer already
+    assert by["day"].role == "Time"
+    # 2-value status gets a domain rule; high-cardinality blob does not
+    assert by["status"].allowed_values == ("active", "closed")
+    assert by["blob"].allowed_values is None
+    p = {x["column"]: x for x in prof}
+    assert p["blob"]["null_frac"] == 0.2
+    assert p["status"]["domain"] == ["active", "closed"]
+    assert p["id"]["regex_fracs"]["integer"] == 1.0
+
+    # numeric dtypes get the observed range; draft rules actually RUN
+    df2 = spark.createDataFrame([(i, float(i) / 2) for i in range(10)],
+                                "k int, v double")
+    assigns2, prof2 = profile_and_suggest(df2)
+    by2 = {a.column: a for a in assigns2}
+    assert (by2["k"].min_value, by2["k"].max_value) == (0.0, 9.0)
+    assert (by2["v"].min_value, by2["v"].max_value) == (0.0, 4.5)
+    from ndap_data_validator_spark.operators.validate import ValidationEngine
+
+    res = ValidationEngine().validate(df2, assigns2)
+    # every drafted rule holds on the data it was drafted from (the summary
+    # itself fails only the MISSING-Time mandatory-role contract, which is
+    # the catalog's business, not the profiler's)
+    row = res.summary.first()
+    assert row["failed_count"] == 0
+    assert list(row["missing_roles"]) == ["Time"]
+
+    # profile_columns restricted to a column subset stays a single pass
+    only = profile_columns(df, columns=["status"])
+    assert [x["column"] for x in only] == ["status"]

@@ -768,6 +768,22 @@ assert fsm_counts.get("bad_transition", 0) > 0, fsm_counts
 assert fsm_counts["bad_transition"] >= fsm_counts.get("role_repeat", 0)
 print(f"role-transition FSM: {fsm_counts}")
 
+# data-driven rule bootstrap: ONE aggregate pass profiles the transcript
+# table and drafts constraints; the generated roles are low-cardinality so
+# the role column must pick up a domain rule, turn_idx the observed range
+from ndap_data_validator_spark.rules.inference import profile_and_suggest
+
+sugg, prof = profile_and_suggest(df.select("conv_id", "turn_idx", "role", "ts"))
+s_by = {a.column: a for a in sugg}
+assert s_by["role"].allowed_values is not None and len(s_by["role"].allowed_values) <= 20
+assert s_by["turn_idx"].min_value is not None and s_by["turn_idx"].max_value >= 100
+assert s_by["ts"].role == "Time"
+p_by = {x["column"]: x for x in prof}
+assert 0 < p_by["conv_id"]["null_frac"] < 0.05  # injected null conv ids
+print(f"rule bootstrap: role domain {list(s_by['role'].allowed_values)}, "
+      f"turn_idx range [{s_by['turn_idx'].min_value}, {s_by['turn_idx'].max_value}], "
+      f"conv_id null_frac {p_by['conv_id']['null_frac']:.4f}")
+
 # violation-row cap: the report-sink guard for runs where one broken rule
 # floods the sink — first K per (partition, column, reason) by the stable
 # key; aggregate counts must be unaffected
