@@ -93,19 +93,11 @@ _REGEX_CANDIDATES: dict[str, str] = {
 }
 
 
-def profile_columns(
-    df: DataFrame,
-    columns: list[str] | None = None,
-    max_domain_size: int = 20,
-) -> list[dict]:
-    """Observed per-column profile, ONE aggregate pass:
-    ``{column, dtype, n, nulls, null_frac, n_distinct_approx, min, max,
-    regex_fracs, domain}``. ``domain`` is the exact sorted value set for
-    string columns whose approx distinct count is ≤ max_domain_size
-    (collected in a second pass restricted to those columns — the partial
-    ``collect_set`` stays bounded because the cardinality is, so the pass
-    is safe at any row count); None elsewhere.
-    """
+def profile_agg_frame(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """The profiler's ONE-row aggregate frame (exposed for plan audits):
+    every statistic for every column in a single partial-aggregated agg."""
     from pyspark.sql import functions as F
 
     fields = [
@@ -126,7 +118,28 @@ def profile_columns(
                         f"{c}__re_{label}"
                     )
                 )
-    row = df.agg(*aggs).first().asDict()
+    return df.agg(*aggs)
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_domain_size: int = 20,
+) -> list[dict]:
+    """Observed per-column profile, ONE aggregate pass:
+    ``{column, dtype, n, nulls, null_frac, n_distinct_approx, min, max,
+    regex_fracs, domain}``. ``domain`` is the exact sorted value set for
+    string columns whose approx distinct count is ≤ max_domain_size
+    (collected in a second pass restricted to those columns — the partial
+    ``collect_set`` stays bounded because the cardinality is, so the pass
+    is safe at any row count); None elsewhere.
+    """
+    from pyspark.sql import functions as F
+
+    fields = [
+        f for f in df.schema.fields if columns is None or f.name in columns
+    ]
+    row = profile_agg_frame(df, columns).first().asDict()
 
     domain_cols = [
         f.name

@@ -178,6 +178,19 @@ def main() -> None:
         partition_by=F.pmod(F.xxhash64("conv_id"), F.lit(16)),
         order_by=["conv_id", "turn_idx"], cache_aggregates=False,
     )
+    res_cap = ValidationEngine().validate(
+        df, assigns,
+        partition_by=F.pmod(F.xxhash64("conv_id"), F.lit(16)),
+        order_by=["conv_id", "turn_idx"], cache_aggregates=False,
+        max_violations_per_rule=10,
+    )
+
+    def _profile_agg(spark, frame):
+        from ndap_data_validator_spark.rules.inference import profile_agg_frame
+
+        return profile_agg_frame(
+            frame.select("conv_id", "turn_idx", "role", "ts")
+        )
 
     sections = [
         (
@@ -216,19 +229,47 @@ def main() -> None:
             "group keys.",
         ),
         (
-            "Sequence checks (one window, four rules)",
+            "Sequence checks (one window, five rules)",
             __import__(
                 "ndap_data_validator_spark.operators.convchecks", fromlist=["c"]
             ).sequence_checks(
                 df, key_col="conv_id", order_col="turn_idx", ts_col="ts",
                 role_col="role", expected_step=1, max_gap_sec=600,
+                allowed_transitions=frozenset(
+                    [("user", "assistant"), ("assistant", "tool"),
+                     ("tool", "user")]
+                ),
             ),
-            "All four conversation-order rules (turn contiguity, ts "
-            "monotonicity, role alternation, max silence) compile into ONE "
-            "window over (conv_id, turn_idx): a single Exchange on the "
-            "conversation key and a single Sort feed every lag; the checks "
-            "are array_compact+explode in the same projection — adding a "
-            "rule adds zero passes and zero shuffles.",
+            "All five conversation-order rules (turn contiguity, ts "
+            "monotonicity, role alternation, max silence, role-transition "
+            "FSM whitelist) compile into ONE window over (conv_id, "
+            "turn_idx): a single Exchange on the conversation key and a "
+            "single Sort feed every lag; the checks — including the FSM's "
+            "literal-pair disjunction — are array_compact+explode in the "
+            "same projection. Adding a rule adds zero passes and zero "
+            "shuffles.",
+        ),
+        (
+            "Violation-row cap (bounded report sink)",
+            res_cap.violations,
+            "max_violations_per_rule adds ONE hash Exchange on (partition, "
+            "column, reason) over the already-filtered violation stream — "
+            "and Catalyst inserts WindowGroupLimit on BOTH sides of it "
+            "(the rank-limit pushdown): each map task locally keeps only "
+            "its first K per group BEFORE the shuffle, so even the "
+            "exchange is bounded at K x groups x tasks, and the final "
+            "output at K x rules x partitions however badly a rule "
+            "breaks. The aggregate counts never see the cap.",
+        ),
+        (
+            "Rule-bootstrap profile (one aggregate pass)",
+            _profile_agg(spark, df),
+            "Every per-column profile statistic (null counts, "
+            "approx_count_distinct sketches, min/max, regex-candidate "
+            "match fractions) rides ONE partial HashAggregate over the "
+            "scan — a single 1-row agg no matter how many columns or "
+            "candidates; the exact-domain follow-up runs only for "
+            "sketch-small string columns.",
         ),
         (
             "Deterministic hash-gate sample (pure filter)",
