@@ -136,3 +136,88 @@ def test_salt_is_deterministic_per_row(spark):
         salt_repartition(df, "conv_id", num_partitions=8), ["conv_id", "turn_idx"]
     ).collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_violation_cap_matches_python_oracle(spark, seed):
+    """Capped violations == full violations group-headed in Python: for
+    every (partition, column, reason) group, sort by the stable key
+    (NULLS FIRST, value tiebreak) and keep the first K."""
+    t = transcripts(spark, 1_500, 20, seed=seed)
+    assigns = [
+        ColumnAssignment("conv_id", "Location"),
+        ColumnAssignment("role", "Others", regex=r"^(user|assistant|tool)$"),
+        ColumnAssignment("turn_idx", "Measures", "integer", min_value=0),
+    ]
+    eng = ValidationEngine()
+    part = F.substring("conv_id", 6, 1)
+    order = ["conv_id", "turn_idx"]
+    k = 2 + seed % 3
+    full = eng.validate(t, assigns, partition_by=part, order_by=order)
+    capped = eng.validate(
+        t, assigns, partition_by=part, order_by=order,
+        max_violations_per_rule=k,
+    )
+
+    def sort_key(r):
+        return (
+            r["conv_id"] is not None, r["conv_id"] or "",
+            r["turn_idx"] is not None,
+            r["turn_idx"] if r["turn_idx"] is not None else 0,
+            r["value"] is not None, r["value"] or "",
+        )
+
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in full.violations.collect():
+        groups[(r["partition_id"], r["column"], r["reason"])].append(r)
+    want = set()
+    for key, rows in groups.items():
+        for r in sorted(rows, key=sort_key)[:k]:
+            want.add((key, r["conv_id"], r["turn_idx"], r["value"]))
+    got = {
+        ((r["partition_id"], r["column"], r["reason"]),
+         r["conv_id"], r["turn_idx"], r["value"])
+        for r in capped.violations.collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_profile_matches_python_oracle(spark, seed):
+    """profile_columns == an independent pandas/re oracle on a seeded
+    random frame: null fractions, min/max, regex-candidate fractions over
+    non-null values, and exact small domains."""
+    import re
+
+    from ndap_data_validator_spark.rules.inference import (
+        _REGEX_CANDIDATES,
+        profile_columns,
+    )
+
+    rng = random.Random(seed)
+    s_pool = ["7", "-3", "2.5", "1e3", "2024-01-02", "true", "xyz", "", None]
+    rows = [
+        (rng.choice(s_pool), rng.choice(["a", "b", "c"]),
+         rng.randint(-50, 50) if rng.random() > 0.1 else None)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s string, cat string, num int")
+    prof = {p["column"]: p for p in profile_columns(df)}
+
+    s_vals = [r[0] for r in rows]
+    nn = [v for v in s_vals if v is not None]
+    assert prof["s"]["nulls"] == sum(v is None for v in s_vals)
+    for label, pat in _REGEX_CANDIDATES.items():
+        # Java (?i) flag sits mid-pattern in the boolean candidate; Python
+        # wants it at the start — normalize for the oracle only
+        ppat = pat.replace("^(?i)", "(?i)^")
+        want = sum(bool(re.search(ppat, v)) for v in nn) / len(nn)
+        got = prof["s"]["regex_fracs"][label]
+        assert abs(got - want) < 1e-9, (label, got, want)
+    assert prof["cat"]["domain"] == ["a", "b", "c"]
+    nums = [r[2] for r in rows if r[2] is not None]
+    assert prof["num"]["min"] == min(nums)
+    assert prof["num"]["max"] == max(nums)
+    assert prof["num"]["null_frac"] == sum(r[2] is None for r in rows) / 300
