@@ -425,3 +425,86 @@ def test_bloom_decontamination_stream_equals_batch(spark, tmp_path):
     assert got == inline_batch == join_batch
     flags = {t[0]: t[4] for t in got}
     assert flags == {1: True, 2: False, 3: True}
+
+
+def test_sequence_check_stream_equals_batch(spark, tmp_path):
+    """Streaming sequence checks == the batch window operator when turns
+    arrive in order: same five rules, state (the previous-turn snapshot)
+    carries across micro-batches at the file boundary."""
+    from ndap_data_validator_spark.operators.convchecks import sequence_checks
+    from ndap_data_validator_spark.streaming.stateful import (
+        sequence_check_stream,
+    )
+
+    fsm = frozenset(
+        [("user", "assistant"), ("assistant", "tool"), ("tool", "user")]
+    )
+    base = "2026-01-01 00:{m:02d}:00"
+    rows = [
+        # conv A: clean cycle, then a skipped turn (order_gap+bad_transition
+        # at 4), a ts regression at 5, a role repeat at 6
+        ("A", 0, "user", base.format(m=0)),
+        ("A", 1, "assistant", base.format(m=1)),
+        ("A", 2, "tool", base.format(m=2)),
+        ("A", 4, "assistant", base.format(m=3)),   # gap: tool->assistant ok? NO (tool->user only)
+        ("A", 5, "tool", "2026-01-01 00:01:30"),   # regression
+        ("A", 6, "tool", base.format(m=5)),        # repeat + bad transition
+        # conv B: NULL role in the middle — its two transitions pass
+        ("B", 0, "user", base.format(m=0)),
+        ("B", 1, None, base.format(m=1)),
+        ("B", 2, "tool", base.format(m=2)),
+        # conv C: long silence between 0 and 1
+        ("C", 0, "user", base.format(m=0)),
+        ("C", 1, "assistant", "2026-01-01 03:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).select(
+        "conv_id", "turn_idx", "role", F.col("ts").cast("timestamp").alias("ts")
+    )
+    kwargs = dict(
+        expected_step=1, max_gap_sec=3600.0, allowed_transitions=fsm
+    )
+    batch = {
+        (r.conv_id, r.turn_idx, r.check)
+        for r in sequence_checks(
+            df, key_col="conv_id", order_col="turn_idx",
+            ts_col="ts", role_col="role", **kwargs
+        ).collect()
+    }
+
+    # split each conversation MID-STREAM: turns <= 2 in file 1, rest in
+    # file 2 — the boundary comparison (A: 2->4) only works if state
+    # carried the turn-2 snapshot into batch 2
+    src = str(tmp_path / "seqsrc")
+    for pred in [F.col("turn_idx") <= 2, F.col("turn_idx") > 2]:
+        df.where(pred).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sequence_check_stream(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName("seqviol")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "seqckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.conv_id, r.turn_idx, r.check)
+        for r in spark.sql("SELECT * FROM seqviol").collect()
+    }
+    assert got == batch
+    # sanity: the planted defects are all present
+    assert ("A", 4, "order_gap") in got
+    assert ("A", 4, "bad_transition") in got
+    assert ("A", 5, "ts_regression") in got
+    assert ("A", 6, "role_repeat") in got
+    assert ("C", 1, "long_gap") in got
+    assert not any(c == "B" for c, _, _ in got)
