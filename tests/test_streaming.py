@@ -4,6 +4,7 @@ produce the same aggregate report as one batch run over the union."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from ndap_data_validator_spark.operators.validate import ValidationEngine
@@ -508,3 +509,100 @@ def test_sequence_check_stream_equals_batch(spark, tmp_path):
     assert ("A", 6, "role_repeat") in got
     assert ("C", 1, "long_gap") in got
     assert not any(c == "B" for c, _, _ in got)
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_sequence_check_stream_fuzz_equals_batch(spark, tmp_path, seed):
+    """Seeded fuzz fold: random conversations with random planted defects,
+    split into 3 micro-batches at random TURN boundaries (in-order arrival
+    per conv) — the stream twin must equal the batch window operator
+    exactly, whatever the defects and wherever the batch cuts land."""
+    import random as _random
+
+    from ndap_data_validator_spark.operators.convchecks import sequence_checks
+    from ndap_data_validator_spark.streaming.stateful import (
+        sequence_check_stream,
+    )
+
+    rng = _random.Random(seed)
+    roles = ["user", "assistant", "tool"]
+    fsm = frozenset(
+        [("user", "assistant"), ("assistant", "tool"), ("tool", "user")]
+    )
+    rows = []
+    for c in range(8):
+        conv = f"c{c:02d}"
+        turn, sec = 0, 0
+        for _ in range(rng.randint(5, 25)):
+            role = roles[turn % 3]
+            r = rng.random()
+            if r < 0.15:
+                turn += rng.randint(2, 4)          # order gap
+            if r >= 0.15 and r < 0.25:
+                sec -= rng.randint(1, 500)         # ts regression
+            elif r < 0.35:
+                sec += rng.randint(4000, 9000)     # long gap
+            else:
+                sec += rng.randint(1, 120)
+            if rng.random() < 0.1:
+                role = rng.choice(roles + [None, "sys?"])  # FSM breaks
+            rows.append((conv, turn, role,
+                         f"2026-01-01 00:00:00.{0:03d}", sec))
+            turn += 1
+    # ts = base + sec seconds, built in Spark to stay timestamp-typed
+    df = (
+        spark.createDataFrame(
+            [(c, t, r, s) for c, t, r, _, s in rows],
+            "conv_id string, turn_idx int, role string, sec long",
+        )
+        .select(
+            "conv_id", "turn_idx", "role",
+            (F.lit("2026-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.col("sec"))).alias("ts"),
+        )
+    )
+    kwargs = dict(expected_step=1, max_gap_sec=3600.0,
+                  allowed_transitions=fsm)
+    batch = {
+        (r.conv_id, r.turn_idx, r.check)
+        for r in sequence_checks(
+            df, key_col="conv_id", order_col="turn_idx",
+            ts_col="ts", role_col="role", **kwargs
+        ).collect()
+    }
+    assert batch, "fuzz frame must plant at least one violation"
+
+    max_turn = max(t for _, t, _, _, _ in rows)
+    cut1 = rng.randint(1, max_turn - 1)
+    cut2 = rng.randint(cut1 + 1, max_turn)
+    src = str(tmp_path / f"fuzzsrc{seed}")
+    for pred in [
+        F.col("turn_idx") < cut1,
+        (F.col("turn_idx") >= cut1) & (F.col("turn_idx") < cut2),
+        F.col("turn_idx") >= cut2,
+    ]:
+        part = df.where(pred)
+        if part.take(1):
+            part.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sequence_check_stream(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName(f"fuzzviol{seed}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"fckpt{seed}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.conv_id, r.turn_idx, r.check)
+        for r in spark.sql(f"SELECT * FROM fuzzviol{seed}").collect()
+    }
+    assert got == batch
