@@ -204,9 +204,25 @@ class ValidationEngine:
 
         conversion_errors for Time = invalid + (valid_total − majority)
         (validation.py:180-188); for other roles it is the error-pred sum.
+
+        Tolerance/severity (engine knobs, ColumnAssignment docstring): with
+        ``tolerance`` set, every count-based trip condition becomes
+        ``count > tolerance × rows`` instead of ``count > 0`` — still pure
+        expressions over the one aggregate row (``__rows`` rides the same
+        row), zero extra passes. With ``severity='warn'`` the reasons are
+        reported but ``passed`` is pinned True. Defaults reproduce the
+        reference verdict bit-for-bit.
         """
         nulls = self._zero_if_null(F.col(s.a("nulls")))
         errs = self._zero_if_null(F.col(s.a("errs")))
+        rows = self._zero_if_null(F.col("__rows"))
+
+        tol = s.assignment.tolerance
+
+        def _trip(count: Column) -> Column:
+            if tol is None:
+                return count > 0
+            return count.cast("double") > F.lit(float(tol)) * rows.cast("double")
 
         is_time = s.coercion.label_expr is not None
         if is_time:
@@ -223,8 +239,19 @@ class ValidationEngine:
             )
             invalid = errs
             conv_errs = invalid + (valid_total - majority)
-            time_invalid_fail = invalid > 0
-            time_inconsistent_fail = (invalid == 0) & (distinct_formats > 1)
+            time_invalid_fail = _trip(invalid)
+            if tol is None:
+                # reference branch exactly (validation.py:317-327)
+                time_inconsistent_fail = (invalid == 0) & (distinct_formats > 1)
+            else:
+                # tolerant reading: the invalid branch didn't trip, more
+                # than one format seen, AND the minority formats exceed the
+                # allowed fraction.
+                time_inconsistent_fail = (
+                    ~time_invalid_fail
+                    & (distinct_formats > 1)
+                    & _trip(valid_total - majority)
+                )
         else:
             conv_errs = errs
             time_invalid_fail = F.lit(False)
@@ -235,11 +262,11 @@ class ValidationEngine:
         # Reason order matches the reference exactly (validation.py:287-327):
         # numericOnly → notNull → time checks → engine extensions.
         if s.rule.numeric_only:
-            cond = conv_errs > 0
+            cond = _trip(conv_errs)
             fail_conds.append(cond)
             reasons_raw.append(F.when(cond, F.lit(REASON_NON_NUMERIC)))
         if s.rule.not_null:
-            cond = nulls > 0
+            cond = _trip(nulls)
             fail_conds.append(cond)
             reasons_raw.append(F.when(cond, F.lit(REASON_NO_NULLS)))
         if is_time:
@@ -250,21 +277,22 @@ class ValidationEngine:
                 F.when(time_inconsistent_fail, F.lit(REASON_INCONSISTENT_TIME))
             )
         if self._range_pred(s) is not None:
-            cond = self._zero_if_null(F.col(s.a("range"))) > 0
+            cond = _trip(self._zero_if_null(F.col(s.a("range"))))
             fail_conds.append(cond)
             reasons_raw.append(F.when(cond, F.lit(REASON_OUT_OF_RANGE)))
         if self._regex_pred(s) is not None:
-            cond = self._zero_if_null(F.col(s.a("regex"))) > 0
+            cond = _trip(self._zero_if_null(F.col(s.a("regex"))))
             fail_conds.append(cond)
             reasons_raw.append(F.when(cond, F.lit(REASON_REGEX_MISMATCH)))
         if self._domain_pred(s) is not None:
-            cond = self._zero_if_null(F.col(s.a("domain"))) > 0
+            cond = _trip(self._zero_if_null(F.col(s.a("domain"))))
             fail_conds.append(cond)
             reasons_raw.append(F.when(cond, F.lit(REASON_NOT_IN_DOMAIN)))
 
         failed = F.lit(False)
-        for c in fail_conds:
-            failed = failed | c
+        if s.assignment.severity != "warn":
+            for c in fail_conds:
+                failed = failed | c
         reasons = (
             F.filter(
                 F.array(*reasons_raw), lambda x: x.isNotNull()

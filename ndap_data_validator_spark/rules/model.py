@@ -66,6 +66,21 @@ class ColumnAssignment:
       * ``min_value``/``max_value`` — inclusive range rule on the coerced value
       * ``regex`` — value-domain rule (full-match) on the string form
       * ``time_date_only`` — datetime → date truncation (validation.py:84)
+      * ``tolerance`` — max allowed violation FRACTION per rule before the
+        column fails (Deequ/Great-Expectations-standard knob). None (the
+        default) keeps the reference's strict any-violation-fails verdict;
+        ``0.001`` means "pass while ≤0.1% of the partition's rows violate".
+        At 10^12 turns a handful of bad rows in a trillion must be allowed
+        to pass without editing data. Applies to every count-based rule on
+        the column (nulls, conversion errors, invalid time, range, regex,
+        domain); the time format-CONSISTENCY rule reads it as "minority
+        formats ≤ fraction". Violation ROWS and COUNTS are unaffected —
+        tolerance only moves the pass/fail verdict.
+      * ``severity`` — ``"error"`` (default: a tripped rule fails the
+        column, hence the partition and any publish gate) or ``"warn"``
+        (the tripped rule's reason strings still appear in ``reasons`` and
+        its rows in the violation report, but ``passed`` stays True so the
+        partition verdict and downstream gates never see it).
     """
 
     column: str
@@ -80,6 +95,8 @@ class ColumnAssignment:
     # the shared scan as an isin literal (no join, no extra pass). For big
     # dimensions use operators/referential.py instead.
     allowed_values: tuple[str, ...] | None = None
+    tolerance: float | None = None
+    severity: str = "error"
 
     def __post_init__(self) -> None:
         if self.role not in ROLE_OPTIONS:
@@ -87,6 +104,14 @@ class ColumnAssignment:
         if self.measure_type is not None and self.measure_type not in MEASURE_TYPES:
             raise ValueError(
                 f"unknown measure_type {self.measure_type!r}; one of {MEASURE_TYPES}"
+            )
+        if self.tolerance is not None and not (0.0 <= self.tolerance <= 1.0):
+            raise ValueError(
+                f"tolerance must be a fraction in [0, 1], got {self.tolerance!r}"
+            )
+        if self.severity not in ("error", "warn"):
+            raise ValueError(
+                f"severity must be 'error' or 'warn', got {self.severity!r}"
             )
 
 
@@ -219,21 +244,33 @@ def assignment_digest(
 ) -> str:
     """Digest of (catalog, schema, role assignment) — the full rule identity
     a checkpoint row records."""
+    def _one(a: ColumnAssignment) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "column": a.column,
+            "role": a.role,
+            "measure_type": a.measure_type,
+            "min": a.min_value,
+            "max": a.max_value,
+            "regex": a.regex,
+            "date_only": a.time_date_only,
+            "allowed": list(a.allowed_values) if a.allowed_values else None,
+        }
+        # identity property (same contract as run_rule_digest): the
+        # tolerance/severity keys enter the digest ONLY when set, so every
+        # checkpoint written before these knobs existed stays valid for
+        # default-strict assignments — and a run that changes a tolerance
+        # correctly invalidates its partitions.
+        if a.tolerance is not None:
+            d["tolerance"] = a.tolerance
+        if a.severity != "error":
+            d["severity"] = a.severity
+        return d
+
     payload = {
         "catalog": catalog.digest(),
         "schema": schema_name or catalog.default_schema,
         "assignments": [
-            {
-                "column": a.column,
-                "role": a.role,
-                "measure_type": a.measure_type,
-                "min": a.min_value,
-                "max": a.max_value,
-                "regex": a.regex,
-                "date_only": a.time_date_only,
-                "allowed": list(a.allowed_values) if a.allowed_values else None,
-            }
-            for a in sorted(assignments, key=lambda a: a.column)
+            _one(a) for a in sorted(assignments, key=lambda a: a.column)
         ],
     }
     canonical = json.dumps(payload, sort_keys=True, separators=(",", ":"))
