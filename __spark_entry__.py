@@ -347,37 +347,109 @@ def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+# dataset-level metric expectations riding the column_stats entry
+# (operators/expectations.py — ONE aggregate evaluates every rule; the
+# qty_max_strict rule is deliberately failing so both verdict polarities
+# are oracle-checked). Values chosen order-independent (no float SUM) so
+# the cross-engine hash is stable at 6 dp.
+def _stats_expectation_rules():
+    from ndap_data_validator_spark.operators.expectations import MetricRule
+
+    return [
+        MetricRule("rows_ok", "row_count", min_bound=1, max_bound=1e12),
+        MetricRule(
+            "qty_null_free", "null_fraction", column="l_quantity",
+            max_bound=0.001,
+        ),
+        MetricRule(
+            "qty_mean", "mean", column="l_quantity", min_bound=20, max_bound=30
+        ),
+        MetricRule("disc_min", "min", column="l_discount", min_bound=0.0),
+        MetricRule("disc_max", "max", column="l_discount", max_bound=0.2),
+        MetricRule(
+            "orderkey_ratio", "distinct_ratio", column="l_orderkey",
+            min_bound=0.05, max_bound=0.6,
+        ),
+        MetricRule(
+            "positive_price", "compliance",
+            expression="l_extendedprice > 0 AND l_quantity > 0",
+            min_bound=1.0,
+        ),
+        MetricRule("qty_max_strict", "max", column="l_quantity", max_bound=10),
+    ]
+
+
 def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """north_star per-column stats block (exact distinct here so the oracle
-    can verify; the engine's approx/HLL variant is q_hll_distinct)."""
+    """north_star per-column stats block + dataset-level metric
+    EXPECTATIONS, method-tagged in one long-form entry (consolidated r05 —
+    the wide stats block reshaped to (name, metric, value) rows so the new
+    expectations leg shares the schema):
+
+    * 'stats' — min/max/mean/stddev/exact-distinct per measure column
+      (exact distinct so the oracle can verify; the engine's approx/HLL
+      variant is q_hll_distinct);
+    * 'expect' — operators/expectations.py MetricRule verdicts (row_count,
+      null_fraction, mean, min/max bounds, distinct_ratio, compliance)
+      with lo/hi bounds and passed — incl. one deliberately failing rule.
+
+    Both legs are single shared-scan aggregates (map-side partials, one
+    tiny exchange); the union is two independent jobs over the same
+    parquet, never a join."""
+    from ndap_data_validator_spark.operators.expectations import (
+        metric_expectations,
+    )
+
     li = _spread(_t(spark, sf_dir, "lineitem"))
-    cols = ["l_quantity", "l_extendedprice", "l_discount"]
     aggs = []
-    for c in cols:
+    for c in _STATS_COLS:
         aggs += [
-            F.min(c).alias(f"{c}__min"),
-            F.max(c).alias(f"{c}__max"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
             F.round(F.avg(c), 4).alias(f"{c}__mean"),
             F.round(F.stddev_samp(c), 2).alias(f"{c}__stddev"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.count_distinct(F.col(c)).cast("double").alias(f"{c}__distinct"),
         ]
     agg = li.agg(*aggs)
     structs = F.array(
         *[
             F.struct(
-                F.lit(c).alias("column"),
-                F.col(f"{c}__min").alias("min_v"),
-                F.col(f"{c}__max").alias("max_v"),
-                F.col(f"{c}__mean").alias("mean_v"),
-                F.col(f"{c}__stddev").alias("stddev_v"),
-                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.lit(c).alias("name"),
+                F.lit(metric).alias("metric"),
+                F.col(f"{c}__{suffix}").alias("value"),
             )
-            for c in cols
+            for c in _STATS_COLS
+            for metric, suffix in [
+                ("min", "min"),
+                ("max", "max"),
+                ("mean", "mean"),
+                ("stddev", "stddev"),
+                ("distinct", "distinct"),
+            ]
         ]
     )
-    return agg.select(F.explode(structs).alias("s")).select(
-        "s.column", "s.min_v", "s.max_v", "s.mean_v", "s.stddev_v", "s.n_distinct"
+    stats_leg = agg.select(F.explode(structs).alias("s")).select(
+        F.lit("stats").alias("method"),
+        "s.name",
+        "s.metric",
+        F.col("s.value").cast("double").alias("value"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+        F.lit(None).cast("boolean").alias("passed"),
     )
+    expect_leg = metric_expectations(
+        li, _stats_expectation_rules(), approx_distinct=False
+    ).select(
+        F.lit("expect").alias("method"),
+        F.col("rule").alias("name"),
+        "metric",
+        F.round("value", 6).alias("value"),
+        F.col("min_bound").alias("lo"),
+        F.col("max_bound").alias("hi"),
+        "passed",
+    )
+    return stats_leg.unionByName(expect_leg)
 
 
 _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS = 0.0, 500_000.0, 20
@@ -3359,13 +3431,62 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY user_id
     """
 
-    stats_cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    column_stats_sql = " UNION ALL ".join(
-        f"""SELECT '{c}' AS "column", MIN({c}) AS min_v, MAX({c}) AS max_v,
-            ROUND(AVG({c}), 4) AS mean_v, ROUND(STDDEV_SAMP({c}), 2) AS stddev_v,
-            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM lineitem"""
-        for c in stats_cols
+    stats_leg_sql = " UNION ALL ".join(
+        f"""SELECT '{c}' AS name, '{m}' AS metric, {expr}::DOUBLE AS value
+            FROM lineitem"""
+        for c in _STATS_COLS
+        for m, expr in [
+            ("min", f"MIN({c})"),
+            ("max", f"MAX({c})"),
+            ("mean", f"ROUND(AVG({c}), 4)"),
+            ("stddev", f"ROUND(STDDEV_SAMP({c}), 2)"),
+            ("distinct", f"COUNT(DISTINCT {c})"),
+        ]
     )
+    # the expectations leg: metric values once in a CTE, rule rows with
+    # bounds, passed computed on the UNROUNDED value (as the engine does),
+    # value rounded to 6 dp for the cross-engine hash
+    column_stats_sql = f"""
+      WITH m AS (
+        SELECT COUNT(*)::DOUBLE AS rows_v,
+               AVG(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END) AS nullfrac_v,
+               AVG(l_quantity) AS mean_v,
+               MIN(l_discount)::DOUBLE AS dmin_v,
+               MAX(l_discount)::DOUBLE AS dmax_v,
+               COUNT(DISTINCT l_orderkey)::DOUBLE / COUNT(*) AS ratio_v,
+               AVG(CASE WHEN COALESCE(l_extendedprice > 0 AND l_quantity > 0,
+                                      FALSE) THEN 1.0 ELSE 0.0 END) AS comp_v,
+               MAX(l_quantity)::DOUBLE AS qmax_v
+        FROM lineitem
+      ),
+      e(name, metric, value, lo, hi) AS (
+        SELECT 'rows_ok', 'row_count', rows_v, 1.0, 1e12 FROM m
+        UNION ALL SELECT 'qty_null_free', 'null_fraction', nullfrac_v,
+                         CAST(NULL AS DOUBLE), 0.001 FROM m
+        UNION ALL SELECT 'qty_mean', 'mean', mean_v, 20.0, 30.0 FROM m
+        UNION ALL SELECT 'disc_min', 'min', dmin_v, 0.0,
+                         CAST(NULL AS DOUBLE) FROM m
+        UNION ALL SELECT 'disc_max', 'max', dmax_v,
+                         CAST(NULL AS DOUBLE), 0.2 FROM m
+        UNION ALL SELECT 'orderkey_ratio', 'distinct_ratio', ratio_v,
+                         0.05, 0.6 FROM m
+        UNION ALL SELECT 'positive_price', 'compliance', comp_v, 1.0,
+                         CAST(NULL AS DOUBLE) FROM m
+        UNION ALL SELECT 'qty_max_strict', 'max', qmax_v,
+                         CAST(NULL AS DOUBLE), 10.0 FROM m
+      )
+      SELECT 'stats' AS method, name, metric, value,
+             CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+             CAST(NULL AS BOOLEAN) AS passed
+      FROM ({stats_leg_sql})
+      UNION ALL
+      SELECT 'expect' AS method, name, metric, ROUND(value, 6) AS value,
+             lo, hi,
+             (value IS NOT NULL
+              AND (lo IS NULL OR value >= lo)
+              AND (hi IS NULL OR value <= hi)) AS passed
+      FROM e
+    """
 
     w = (_DRIFT_HI - _DRIFT_LO) / _DRIFT_BINS
     drift_sql = f"""

@@ -1,0 +1,187 @@
+"""Dataset-level metric expectations (operators/expectations.py) vs an
+independent DuckDB oracle, plus verdict/summary semantics and the
+single-aggregate plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ndap_data_validator_spark.operators.expectations import (
+    MetricRule,
+    expectations_summary,
+    metric_expectations,
+)
+
+
+def _pdf() -> pd.DataFrame:
+    rows = []
+    for i in range(400):
+        rows.append(
+            {
+                "part": f"p{i % 4}",
+                "conv_id": f"conv-{i:05d}",
+                "amount": float(i % 50),
+                "role": ["user", "assistant"][i % 2],
+                "text": None if i % 40 == 0 else f"turn {i}",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+RULES = [
+    MetricRule("rows_ok", "row_count", min_bound=100, max_bound=10_000),
+    MetricRule("text_nulls", "null_fraction", column="text", max_bound=0.05),
+    MetricRule("amount_mean", "mean", column="amount", min_bound=20, max_bound=30),
+    MetricRule("amount_min", "min", column="amount", min_bound=0),
+    MetricRule("amount_max", "max", column="amount", max_bound=49),
+    MetricRule("amount_sum", "sum", column="amount", min_bound=1),
+    MetricRule(
+        "conv_unique", "distinct_ratio", column="conv_id", min_bound=0.999
+    ),
+    MetricRule(
+        "roles_valid",
+        "compliance",
+        expression="role IN ('user', 'assistant', 'tool')",
+        min_bound=1.0,
+    ),
+    # deliberately failing: mean(amount) ≈ 24.5 is NOT ≤ 10
+    MetricRule("too_strict", "mean", column="amount", max_bound=10),
+]
+
+
+def test_values_match_duckdb_oracle(spark):
+    pdf = _pdf()
+    rep = (
+        metric_expectations(
+            spark.createDataFrame(pdf), RULES, approx_distinct=False
+        )
+        .toPandas()
+        .set_index("rule")
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        """
+        SELECT COUNT(*)::DOUBLE AS rows_ok,
+               AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) AS text_nulls,
+               AVG(amount) AS amount_mean,
+               MIN(amount) AS amount_min,
+               MAX(amount) AS amount_max,
+               SUM(amount) AS amount_sum,
+               COUNT(DISTINCT conv_id)::DOUBLE / COUNT(*) AS conv_unique,
+               AVG(CASE WHEN COALESCE(role IN ('user','assistant','tool'),
+                                      FALSE) THEN 1.0 ELSE 0.0 END)
+                   AS roles_valid
+        FROM t
+        """
+    ).fetchdf().iloc[0]
+    for rule in exp.index:
+        assert rep.loc[rule, "value"] == pytest.approx(exp[rule], rel=1e-12), rule
+
+
+def test_verdicts_and_summary(spark):
+    rep = metric_expectations(
+        spark.createDataFrame(_pdf()), RULES, approx_distinct=False
+    )
+    by_rule = {r["rule"]: r.asDict() for r in rep.collect()}
+    assert all(
+        by_rule[n]["passed"] for n in by_rule if n != "too_strict"
+    ), by_rule
+    assert by_rule["too_strict"]["passed"] is False
+
+    summ = expectations_summary(rep).collect()[0]
+    assert summ["failed_rules"] == ["too_strict"]
+    assert summ["passed"] is False
+    assert summ["warned_rules"] == []
+
+
+def test_warn_severity_never_fails_partition(spark):
+    rules = [
+        MetricRule("rows_ok", "row_count", min_bound=1),
+        MetricRule(
+            "too_strict", "mean", column="amount", max_bound=10, severity="warn"
+        ),
+    ]
+    rep = metric_expectations(spark.createDataFrame(_pdf()), rules)
+    summ = expectations_summary(rep).collect()[0]
+    assert summ["failed_rules"] == []
+    assert summ["warned_rules"] == ["too_strict"]
+    assert summ["passed"] is True
+
+
+def test_partitioned_report_one_row_per_partition_rule(spark):
+    pdf = _pdf()
+    rep = metric_expectations(
+        spark.createDataFrame(pdf), RULES, partition_by="part",
+        approx_distinct=False,
+    )
+    out = rep.toPandas()
+    assert len(out) == 4 * len(RULES)
+    # spot-check one partition's row_count against pandas
+    p0 = out[(out["partition_id"] == "p0") & (out["rule"] == "rows_ok")]
+    assert p0["value"].iloc[0] == float((pdf["part"] == "p0").sum())
+    # every partition has amount_mean ≈ the stratified mean
+    for p in ("p0", "p1", "p2", "p3"):
+        got = out[(out["partition_id"] == p) & (out["rule"] == "amount_mean")][
+            "value"
+        ].iloc[0]
+        assert got == pytest.approx(pdf[pdf["part"] == p]["amount"].mean())
+
+
+def test_quantile_and_distinct_metrics(spark):
+    rules = [
+        MetricRule("p50", "quantile", column="amount", q=0.5, min_bound=20,
+                   max_bound=30),
+        MetricRule("n_conv", "distinct", column="conv_id", min_bound=400,
+                   max_bound=400),
+        MetricRule("amount_sd", "stddev", column="amount", min_bound=1),
+    ]
+    rep = metric_expectations(
+        spark.createDataFrame(_pdf()), rules, approx_distinct=False
+    )
+    by_rule = {r["rule"]: r.asDict() for r in rep.collect()}
+    assert all(r["passed"] for r in by_rule.values()), by_rule
+    assert by_rule["n_conv"]["value"] == 400.0
+
+
+def test_null_value_fails_rule(spark):
+    # all-NULL column → mean is NULL → rule fails (never silently passes)
+    pdf = pd.DataFrame({"x": [None, None, None]}, dtype="float64")
+    rep = metric_expectations(
+        spark.createDataFrame(pdf),
+        [MetricRule("x_mean", "mean", column="x", min_bound=0)],
+    ).collect()[0]
+    assert rep["value"] is None
+    assert rep["passed"] is False
+
+
+def test_single_aggregate_plan(spark):
+    """The whole rule set must plan as ONE HashAggregate pair over one scan
+    — no joins, no extra exchanges beyond the group-by."""
+    rules = [r for r in RULES if r.metric != "quantile"]
+    rep = metric_expectations(
+        spark.createDataFrame(_pdf()), rules, approx_distinct=True
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # one shuffle: the partition-key exchange (AQE may tag it)
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_rule_validation():
+    with pytest.raises(ValueError):
+        MetricRule("a", "mean", column="x")  # no bounds
+    with pytest.raises(ValueError):
+        MetricRule("a", "mean", min_bound=0)  # column metric, no column
+    with pytest.raises(ValueError):
+        MetricRule("a", "compliance", min_bound=1)  # no expression
+    with pytest.raises(ValueError):
+        MetricRule("a", "quantile", column="x", min_bound=0)  # no q
+    with pytest.raises(ValueError):
+        MetricRule("a", "nope", column="x", min_bound=0)
+    with pytest.raises(ValueError):
+        MetricRule("a", "mean", column="x", min_bound=5, max_bound=1)
+    with pytest.raises(ValueError):
+        metric_expectations(None, [])

@@ -504,6 +504,38 @@ def main() -> None:
             "ids in position order, keyed by the internal row id so "
             "duplicate document keys stay per-row.",
         ),
+        (
+            "Dataset-level metric expectations (one shared aggregate)",
+            (lambda exp: exp.metric_expectations(
+                df,
+                [
+                    exp.MetricRule("rows", "row_count", min_bound=1),
+                    exp.MetricRule("text_nulls", "null_fraction",
+                                   column="text", max_bound=0.05),
+                    exp.MetricRule("turn_mean", "mean", column="turn_idx",
+                                   min_bound=0, max_bound=1e6),
+                    exp.MetricRule("conv_ratio", "distinct_ratio",
+                                   column="conv_id", min_bound=0.0,
+                                   max_bound=1.0),
+                    exp.MetricRule("roles", "compliance",
+                                   expression="role IN ('user','assistant','tool')",
+                                   min_bound=0.9),
+                ],
+                partition_by=F.pmod(F.xxhash64("conv_id"), F.lit(16)),
+            ))(
+                __import__(
+                    "ndap_data_validator_spark.operators.expectations",
+                    fromlist=["e"],
+                )
+            ),
+            "Every MetricRule (row count, null fraction, mean, distinct "
+            "ratio, compliance) evaluates in ONE HashAggregate pair over "
+            "one scan — map-side partials, a single tiny Exchange on the "
+            "partition key, verdict booleans as expressions over the "
+            "aggregate row (array-of-structs + Generate). No joins, no "
+            "second pass, no driver collect; adding rules adds agg "
+            "expressions, never stages.",
+        ),
     ]
 
     out = [

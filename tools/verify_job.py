@@ -930,5 +930,36 @@ assert abs(sum(r["share"] for r in skew_rows)) < 1.0
 print(f"key skew: top={skew_rows[0]['key']} n={skew_rows[0]['n_rows']} "
       f"share={skew_rows[0]['share']} factor={skew_rows[0]['skew_factor']}")
 
+from ndap_data_validator_spark.operators.expectations import (
+    MetricRule,
+    expectations_summary,
+    metric_expectations,
+)
+
+# dataset-level expectations on the generated transcripts: row count and
+# role compliance hold; a deliberately strict warn-severity bound on
+# distinct_ratio (conv_id repeats per turn, so ratio << 1) must surface in
+# warned_rules without failing the partition; and a failing error rule
+# must flip the verdict
+exp_rules = [
+    MetricRule("rows", "row_count", min_bound=10_000, max_bound=10_000_000),
+    MetricRule("roles", "compliance",
+               expression="role IN ('user','assistant','tool','system')",
+               min_bound=0.99),
+    MetricRule("conv_ratio", "distinct_ratio", column="conv_id",
+               min_bound=0.9, severity="warn"),
+]
+exp_rep = metric_expectations(df, exp_rules)
+exp_sum = expectations_summary(exp_rep).collect()[0]
+assert exp_sum["passed"] is True, exp_sum
+assert exp_sum["warned_rules"] == ["conv_ratio"], exp_sum
+strict = exp_rules + [MetricRule("impossible", "row_count", max_bound=1)]
+strict_sum = expectations_summary(metric_expectations(df, strict)).collect()[0]
+assert strict_sum["passed"] is False and "impossible" in strict_sum["failed_rules"]
+vals = {r["rule"]: r["value"] for r in exp_rep.collect()}
+print(f"metric expectations: rows={vals['rows']:.0f} "
+      f"role_compliance={vals['roles']:.4f} conv_ratio={vals['conv_ratio']:.5f} "
+      f"(warned, partition still passes); strict rule flips verdict")
+
 print("JOB OK")
 spark.stop()
