@@ -43,6 +43,9 @@ class RunOutcome:
     skipped_partitions: list[str]
     passed_all: bool  # fold over ALL partitions of this run (main.py:926-936)
     result: ValidationResult | None  # plans for the processed remainder
+    # dataset-level expectation report (one row per partition × MetricRule)
+    # when metric_rules were given; None otherwise
+    expectations: DataFrame | None = None
 
 
 def partition_key(partition_by: str | Column) -> Column:
@@ -71,6 +74,7 @@ def run_validation(
     sequence_rule=None,
     check_rules: list | None = None,
     max_violations_per_rule: int | None = None,
+    metric_rules: list | None = None,
 ) -> RunOutcome:
     """Checkpointed validation run.
 
@@ -120,6 +124,17 @@ def run_validation(
     first K rows per (partition, column, reason) by the ``order_by`` key —
     the report-sink guard for 10^12-turn runs where one broken rule would
     otherwise write billions of example rows; counts stay exact.
+
+    ``metric_rules`` (optional list of
+    ``operators.expectations.MetricRule``) evaluates dataset-level metric
+    expectations per partition (ONE extra shared aggregate over the same
+    resume slice) and folds them into the run contract end to end: the
+    report lands at ``{report_path}/metric_expectations``; a partition
+    whose error-severity expectation fails is withheld from the publish
+    gate and freezes the delta watermark (warn-severity rules report
+    only); the failed rule names ride ``metrics_json`` for the cross-run
+    anomaly history; and the rules enter the run digest, so changing them
+    invalidates 'done' partitions exactly like every other rule family.
     """
     if load_mode not in LOAD_MODES:
         raise ValueError(f"load_mode must be one of {LOAD_MODES}")
@@ -131,7 +146,7 @@ def run_validation(
     # resume would mix rule versions within one report
     from ndap_data_validator_spark.rules.model import run_rule_digest
 
-    digest = run_rule_digest(digest, sequence_rule, check_rules)
+    digest = run_rule_digest(digest, sequence_rule, check_rules, metric_rules)
     store = CheckpointStore(spark, checkpoint_path)
 
     key = partition_key(partition_by)
@@ -168,6 +183,31 @@ def run_validation(
         order_by=order_by,
         max_violations_per_rule=max_violations_per_rule,
     )
+
+    # Dataset-level expectations over the SAME resume slice: one extra
+    # shared aggregate (operators/expectations.py). The tiny per-partition
+    # summary is persisted because it feeds up to three actions below
+    # (metrics_json, publish gate, watermark fold) — without the persist
+    # each action would rescan the source for the expectations agg.
+    exp_report = None
+    exp_summary = None
+    if metric_rules:
+        from ndap_data_validator_spark.operators.expectations import (
+            expectations_summary,
+            metric_expectations,
+        )
+
+        exp_report = metric_expectations(remaining, metric_rules, partition_by=key)
+        exp_summary = (
+            expectations_summary(exp_report)
+            .select(
+                "partition_id",
+                F.col("failed_rules").alias("exp_failed_rules"),
+                F.col("warned_rules").alias("exp_warned_rules"),
+                F.col("passed").alias("exp_passed"),
+            )
+            .persist()
+        )
 
     # In delta mode every output dir gains a delta_batch partition level:
     # incremental batches ACCUMULATE (append semantics) while any retry of
@@ -258,6 +298,10 @@ def run_validation(
                 carry_cols=("__part_id",),
             ).withColumnRenamed("__part_id", "partition_id")
             _write_partitioned(chk_v, f"{report_path}/check_violations")
+        if exp_report is not None:
+            # dataset-level expectation verdicts: one row per (partition,
+            # rule) with value/bounds/passed, same overwrite contract
+            _write_partitioned(exp_report, f"{report_path}/metric_expectations")
 
     # Checkpoint metrics are assembled DISTRIBUTED: per-column stats fold to
     # a map per partition, join the summary, and to_json builds the record —
@@ -278,23 +322,43 @@ def run_validation(
                 )
             ).alias("columns")
         )
-        metrics_frame = (
-            result.summary.join(per_col_map, "partition_id", "left")
-            .select(
-                F.lit(run_id).alias("run_id"),
-                F.col("partition_id"),
-                F.lit(digest).alias("rule_digest"),
-                F.lit("done").alias("status"),
-                F.to_json(
-                    F.struct(
-                        F.col("rows"),
-                        F.col("failed_count"),
-                        F.col("failed_columns"),
-                        F.col("passed"),
-                        F.col("columns"),
-                    )
-                ).alias("metrics_json"),
+        summary_for_metrics = result.summary.join(per_col_map, "partition_id", "left")
+        json_fields = [
+            F.col("rows"),
+            F.col("failed_count"),
+            F.col("failed_columns"),
+            F.col("passed"),
+            F.col("columns"),
+        ]
+        if exp_summary is not None:
+            # a partition's recorded verdict folds in its error-severity
+            # expectation failures; the rule names ride along for the
+            # cross-run anomaly history (plans/anomaly.py reads these paths)
+            summary_for_metrics = summary_for_metrics.join(
+                exp_summary, "partition_id", "left"
             )
+            json_fields = [
+                F.col("rows"),
+                F.col("failed_count"),
+                F.col("failed_columns"),
+                (
+                    F.col("passed")
+                    & F.coalesce(F.col("exp_passed"), F.lit(True))
+                ).alias("passed"),
+                F.coalesce(
+                    F.col("exp_failed_rules"), F.array().cast("array<string>")
+                ).alias("expectation_failed_rules"),
+                F.coalesce(
+                    F.col("exp_warned_rules"), F.array().cast("array<string>")
+                ).alias("expectation_warned_rules"),
+                F.col("columns"),
+            ]
+        metrics_frame = summary_for_metrics.select(
+            F.lit(run_id).alias("run_id"),
+            F.col("partition_id"),
+            F.lit(digest).alias("rule_digest"),
+            F.lit("done").alias("status"),
+            F.to_json(F.struct(*json_fields)).alias("metrics_json"),
         )
         store.mark_done_frame(metrics_frame)
 
@@ -308,6 +372,14 @@ def run_validation(
         passed_parts = result.summary.where(F.col("passed")).select(
             "partition_id"
         )
+        if exp_summary is not None:
+            # error-severity expectation failures withhold the partition
+            # from publish exactly like column-rule failures do
+            passed_parts = passed_parts.join(
+                exp_summary.where(F.col("exp_passed")).select("partition_id"),
+                "partition_id",
+                "left_semi",
+            )
         _write_partitioned(
             remaining.withColumn("partition_id", key).join(
                 passed_parts, "partition_id", "left_semi"
@@ -328,19 +400,29 @@ def run_validation(
         # the publish gate already withholds those rows. The max is computed
         # over the full batch slice (`df` after the watermark filter), not
         # the resume remainder.
-        fold = (
-            df.agg(F.max(F.col(watermark_col)).cast("string").alias("wm"))
-            .crossJoin(
-                result.summary.agg(
+        wm_fold = df.agg(
+            F.max(F.col(watermark_col)).cast("string").alias("wm")
+        ).crossJoin(
+            result.summary.agg(
+                F.coalesce(
+                    F.sum((F.col("failed_count") > 0).cast("int")),
+                    F.lit(0),
+                ).alias("n_failed")
+            )
+        )
+        if exp_summary is not None:
+            # expectation failures are DATA failures for watermark purposes:
+            # a retry re-picks the same rows (plus arrivals) and may pass
+            wm_fold = wm_fold.crossJoin(
+                exp_summary.agg(
                     F.coalesce(
-                        F.sum((F.col("failed_count") > 0).cast("int")),
-                        F.lit(0),
-                    ).alias("n_failed")
+                        F.sum((~F.col("exp_passed")).cast("int")), F.lit(0)
+                    ).alias("n_exp_failed")
                 )
             )
-            .first()
-        )
-        if fold["n_failed"] == 0 and fold["wm"] is not None:
+        fold = wm_fold.first()
+        n_exp_failed = fold["n_exp_failed"] if exp_summary is not None else 0
+        if fold["n_failed"] == 0 and n_exp_failed == 0 and fold["wm"] is not None:
             store.record_watermark(watermark_col, fold["wm"])
 
     # passed_all folds over every partition recorded for this run — the
@@ -371,6 +453,7 @@ def run_validation(
         skipped_partitions=sorted(done),
         passed_all=passed_all,
         result=result,
+        expectations=exp_report,
     )
 
 

@@ -281,17 +281,21 @@ def run_rule_digest(
     base_digest: str,
     sequence_rule: SequenceRule | None = None,
     check_rules: list[CheckRule] | None = None,
+    metric_rules: list | None = None,
 ) -> str:
     """The FULL rule identity of a checkpointed run: the per-column
-    assignment digest composed with the run's SequenceRule and CheckRules.
-    Without these, a re-run whose sequence/CHECK rules changed would still
+    assignment digest composed with the run's SequenceRule, CheckRules,
+    and dataset-level MetricRules (operators/expectations.py). Without
+    these, a re-run whose sequence/CHECK/metric rules changed would still
     skip 'done' partitions and leave a report mixing rule versions — the
     exact staleness the rule digest exists to prevent.
 
-    Identity property: with no sequence/CHECK rules the base digest is
-    returned UNCHANGED, so checkpoints written before (or without) these
-    rule families stay valid for the classic per-column path."""
-    if sequence_rule is None and not check_rules:
+    Identity property: with no sequence/CHECK/metric rules the base digest
+    is returned UNCHANGED, so checkpoints written before (or without)
+    these rule families stay valid for the classic per-column path. The
+    ``metrics`` key likewise enters the payload only when metric rules are
+    present, so seq/CHECK-only digests from earlier versions are stable."""
+    if sequence_rule is None and not check_rules and not metric_rules:
         return base_digest
     payload = {
         "base": base_digest,
@@ -310,5 +314,13 @@ def run_rule_digest(
         },
         "checks": [[c.name, c.expression] for c in (check_rules or [])],
     }
+    if metric_rules:
+        payload["metrics"] = [
+            [
+                m.name, m.metric, m.column, m.expression, m.q,
+                m.min_bound, m.max_bound, m.severity,
+            ]
+            for m in metric_rules
+        ]
     canonical = json.dumps(payload, sort_keys=True, separators=(",", ":"))
     return hashlib.sha256(canonical.encode("utf-8")).hexdigest()

@@ -170,6 +170,104 @@ def test_single_aggregate_plan(spark):
     assert plan.count("Exchange") <= 2, plan
 
 
+def test_run_validation_integration(spark, tmp_path):
+    """metric_rules through the checkpointed pipeline: report written,
+    publish gate withholds the failing partition, metrics_json carries the
+    failed rule names, and the digest changes with the rule set."""
+    import json
+
+    from ndap_data_validator_spark.plans.checkpoint import CheckpointStore
+    from ndap_data_validator_spark.plans.pipeline import run_validation
+    from ndap_data_validator_spark.rules.model import ColumnAssignment
+
+    # p0: 400 rows; p1: 3 rows → a row_count >= 10 expectation fails p1 only
+    pdf = _pdf().assign(part="p0", fy="2021")
+    small = pdf.iloc[:3].assign(part="p1")
+    sdf = spark.createDataFrame(pd.concat([pdf, small], ignore_index=True))
+    # all mandatory roles assigned so the column-rule verdict passes and
+    # the publish gate is decided by the expectations alone
+    assigns = [
+        ColumnAssignment("conv_id", "Location"),
+        ColumnAssignment("fy", "Time"),
+        ColumnAssignment("amount", "Measures", "float"),
+    ]
+    rules = [
+        MetricRule("enough_rows", "row_count", min_bound=10),
+        MetricRule(
+            "amount_hint", "mean", column="amount", max_bound=0.001,
+            severity="warn",  # fails everywhere but must not gate anything
+        ),
+    ]
+
+    out = run_validation(
+        spark, sdf, assigns, partition_by="part",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        order_by=["conv_id"],
+        report_path=str(tmp_path / "rep"),
+        publish_path=str(tmp_path / "pub"),
+        metric_rules=rules,
+    )
+    assert out.passed_all is False  # p1 failed its expectation
+    assert sorted(out.processed_partitions) == ["p0", "p1"]
+
+    rep = spark.read.parquet(str(tmp_path / "rep" / "metric_expectations"))
+    got = {
+        (r["partition_id"], r["rule"]): r["passed"] for r in rep.collect()
+    }
+    assert got[("p0", "enough_rows")] is True
+    assert got[("p1", "enough_rows")] is False
+    assert got[("p0", "amount_hint")] is False  # warn rule: reported...
+
+    pub = spark.read.parquet(str(tmp_path / "pub"))
+    pubs = {r["partition_id"] for r in pub.select("partition_id").collect()}
+    assert pubs == {"p0"}  # ...but only the error rule gates publish
+
+    log = CheckpointStore(spark, str(tmp_path / "ckpt")).run_log(out.run_id)
+    metrics = {
+        r["partition_id"]: json.loads(r["metrics_json"]) for r in log.collect()
+    }
+    assert metrics["p1"]["expectation_failed_rules"] == ["enough_rows"]
+    assert metrics["p1"]["passed"] is False
+    assert metrics["p0"]["expectation_failed_rules"] == []
+    assert metrics["p0"]["expectation_warned_rules"] == ["amount_hint"]
+    assert metrics["p0"]["passed"] is True
+
+    # digest: metric rules are part of the run identity; no rules = legacy
+    out_none = run_validation(
+        spark, sdf, assigns, partition_by="part",
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    assert out_none.rule_digest != out.rule_digest
+    assert out_none.expectations is None
+
+
+def test_run_validation_expectations_freeze_delta_watermark(spark, tmp_path):
+    """A failing error-severity expectation must keep the delta watermark
+    where it was, so the next delta run re-picks the same rows."""
+    from ndap_data_validator_spark.plans.checkpoint import CheckpointStore
+    from ndap_data_validator_spark.plans.pipeline import run_validation
+    from ndap_data_validator_spark.rules.model import ColumnAssignment
+
+    pdf = _pdf().assign(part="p0", wm=range(400))
+    sdf = spark.createDataFrame(pdf)
+    assigns = [ColumnAssignment("conv_id", "Location")]
+    ck = str(tmp_path / "ckpt")
+
+    bad = [MetricRule("impossible", "row_count", max_bound=1)]
+    run_validation(
+        spark, sdf, assigns, partition_by="part", checkpoint_path=ck,
+        load_mode="delta", watermark_col="wm", metric_rules=bad,
+    )
+    assert CheckpointStore(spark, ck).last_watermark("wm") is None
+
+    ok = [MetricRule("rows", "row_count", min_bound=1)]
+    run_validation(
+        spark, sdf, assigns, partition_by="part", checkpoint_path=ck,
+        load_mode="delta", watermark_col="wm", metric_rules=ok,
+    )
+    assert CheckpointStore(spark, ck).last_watermark("wm") == "399"
+
+
 def test_rule_validation():
     with pytest.raises(ValueError):
         MetricRule("a", "mean", column="x")  # no bounds

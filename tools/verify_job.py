@@ -961,5 +961,46 @@ print(f"metric expectations: rows={vals['rows']:.0f} "
       f"role_compliance={vals['roles']:.4f} conv_ratio={vals['conv_ratio']:.5f} "
       f"(warned, partition still passes); strict rule flips verdict")
 
+# ...and through the checkpointed pipeline: per-partition row-count bounds
+# (the hot conv-000000 partition dwarfs the rest, so a max_bound sized for
+# ordinary partitions must flip exactly the hot one's verdict and withhold
+# it from publish)
+exp_base = tempfile.mkdtemp(prefix="verify_exp_")
+part_expr = F.substring("conv_id", 1, 9)
+part_sizes = sorted(
+    r["count"] for r in df.groupBy(part_expr.alias("p")).count().collect()
+)
+assert len(part_sizes) > 1 and part_sizes[-1] > part_sizes[-2], part_sizes
+# cap strictly between the two largest partitions: exactly the hot
+# partition (conv-000000's ~10k-turn conversation lives there) fails
+cap = (part_sizes[-2] + part_sizes[-1]) // 2
+# assignments that satisfy every column rule (all mandatory roles present,
+# rules on clean columns) so the publish gate is decided by the
+# expectations alone
+df_exp = df.withColumn("fy", F.lit("2021"))
+assigns_exp = [
+    ColumnAssignment("fy", "Time"),
+    ColumnAssignment("turn_idx", "Measures", "integer", min_value=0),
+]
+exp_out = run_validation(
+    spark, df_exp, assigns_exp, part_expr,
+    checkpoint_path=os.path.join(exp_base, "ckpt"),
+    report_path=os.path.join(exp_base, "report"),
+    publish_path=os.path.join(exp_base, "pub"),
+    metric_rules=[MetricRule("part_size", "row_count", min_bound=1,
+                             max_bound=cap)],
+)
+exp_gate = spark.read.parquet(os.path.join(exp_base, "report/metric_expectations"))
+n_over = exp_gate.where("NOT passed").count()
+pub_parts = {r["partition_id"] for r in spark.read.parquet(
+    os.path.join(exp_base, "pub")).select("partition_id").distinct().collect()}
+over_parts = {r["partition_id"] for r in exp_gate.where("NOT passed")
+              .select("partition_id").collect()}
+assert n_over >= 1, "the hot partition must exceed the sized cap"
+assert pub_parts.isdisjoint(over_parts), "failed expectations must not publish"
+assert exp_out.passed_all is False
+print(f"pipeline expectations: {n_over} partition(s) over cap={cap}, "
+      f"withheld from publish ({len(pub_parts)} published)")
+
 print("JOB OK")
 spark.stop()
