@@ -111,6 +111,11 @@ def profile_agg_frame(
         if isinstance(f.dataType, _INTEGRAL + _FRACTIONAL + _TEMPORAL):
             aggs.append(F.min(q).alias(f"{c}__min"))
             aggs.append(F.max(q).alias(f"{c}__max"))
+        if isinstance(f.dataType, _INTEGRAL + _FRACTIONAL):
+            # moments feed suggest_metric_rules' mean-drift bounds; same
+            # shared agg, two more partial-aggregated expressions
+            aggs.append(F.avg(q.cast("double")).alias(f"{c}__mean"))
+            aggs.append(F.stddev_samp(q.cast("double")).alias(f"{c}__sd"))
         if f.dataType.typeName() == "string":
             for label, pat in _REGEX_CANDIDATES.items():
                 aggs.append(
@@ -175,6 +180,8 @@ def profile_columns(
                 "n_distinct_approx": row[f"{c}__nd"],
                 "min": row.get(f"{c}__min"),
                 "max": row.get(f"{c}__max"),
+                "mean": row.get(f"{c}__mean"),
+                "stddev": row.get(f"{c}__sd"),
                 "regex_fracs": {
                     label: row.get(f"{c}__re_{label}")
                     for label in _REGEX_CANDIDATES
@@ -245,3 +252,129 @@ def profile_and_suggest(
             ColumnAssignment(column=f.name, role=role, measure_type=mt, **kwargs)
         )
     return out, prof
+
+
+def suggest_metric_rules(
+    profile: list[dict],
+    row_count_slack: tuple[float, float] = (0.5, 2.0),
+    null_floor: float = 0.001,
+    null_slack: float = 1.5,
+    mean_sd_slack: float = 1.0,
+    range_pad_frac: float = 0.1,
+    domain_slack: float = 0.001,
+    key_ratio_trigger: float = 0.95,
+    severity: str = "warn",
+) -> list:
+    """Deequ-style constraint suggestion: derive dataset-level
+    ``MetricRule``s (operators/expectations.py) from a ``profile_columns``
+    snapshot of a HEALTHY baseline, so future batches are asserted against
+    what the baseline actually looked like. Profile once, gate forever —
+    the draft a user reviews and promotes (which is why ``severity``
+    defaults to 'warn': heuristic bounds alert first, block only after a
+    human tightens them).
+
+    Suggested per baseline observation:
+      * ``row_count`` within ``n × row_count_slack`` (the half-empty-batch
+        alarm);
+      * per-column ``null_fraction`` ≤ max(observed × null_slack,
+        null_floor) — a zero-null snapshot is NOT promised to stay
+        zero-null (the classic profiler false promise), it gets the floor;
+      * numeric columns: ``mean`` within observed mean ± mean_sd_slack ×
+        stddev, and ``min``/``max`` within the observed range padded by
+        range_pad_frac × span (aggregate-level drift alarms);
+      * exact small-domain string columns: ``compliance`` of
+        ``col IS NULL OR col IN (domain)`` ≥ 1 − domain_slack (nullability
+        stays the null rule's job);
+      * key-like columns (approx distinct ratio ≥ key_ratio_trigger):
+        ``distinct_ratio`` ≥ key_ratio_trigger − 0.05 (HLL headroom).
+
+    Returns plain MetricRules — feed to ``metric_expectations`` or
+    ``run_validation(metric_rules=…)``; rule names are
+    ``<column>__<metric>`` (``rows__row_count`` for the frame rule) so
+    suites from different baselines diff cleanly.
+    """
+    from ndap_data_validator_spark.operators.expectations import MetricRule
+
+    rules: list = []
+    if not profile:
+        return rules
+    n = profile[0]["n"]
+    if n:
+        rules.append(
+            MetricRule(
+                "rows__row_count",
+                "row_count",
+                min_bound=max(1.0, n * row_count_slack[0]),
+                max_bound=n * row_count_slack[1],
+                severity=severity,
+            )
+        )
+    for p in profile:
+        c = p["column"]
+        nf = p.get("null_frac") or 0.0
+        rules.append(
+            MetricRule(
+                f"{c}__null_fraction",
+                "null_fraction",
+                column=c,
+                max_bound=min(1.0, max(nf * null_slack, null_floor)),
+                severity=severity,
+            )
+        )
+        mean, sd = p.get("mean"), p.get("stddev")
+        if mean is not None:
+            spread = (sd or 0.0) * mean_sd_slack or max(abs(mean) * 0.1, 1e-9)
+            rules.append(
+                MetricRule(
+                    f"{c}__mean",
+                    "mean",
+                    column=c,
+                    min_bound=mean - spread,
+                    max_bound=mean + spread,
+                    severity=severity,
+                )
+            )
+        if (
+            p.get("dtype") in ("integer", "float")
+            and p.get("min") is not None
+            and p.get("max") is not None
+        ):
+            lo, hi = float(p["min"]), float(p["max"])
+            pad = (hi - lo) * range_pad_frac
+            rules.append(
+                MetricRule(
+                    f"{c}__min", "min", column=c, min_bound=lo - pad,
+                    severity=severity,
+                )
+            )
+            rules.append(
+                MetricRule(
+                    f"{c}__max", "max", column=c, max_bound=hi + pad,
+                    severity=severity,
+                )
+            )
+        if p.get("domain"):
+            quoted = ", ".join(
+                "'" + str(v).replace("'", "''") + "'" for v in p["domain"]
+            )
+            rules.append(
+                MetricRule(
+                    f"{c}__domain",
+                    "compliance",
+                    expression=f"`{c}` IS NULL OR `{c}` IN ({quoted})",
+                    min_bound=1.0 - domain_slack,
+                    severity=severity,
+                )
+            )
+        nd = p.get("n_distinct_approx")
+        if n and nd is not None and nd / n >= key_ratio_trigger:
+            rules.append(
+                MetricRule(
+                    f"{c}__distinct_ratio",
+                    "distinct_ratio",
+                    column=c,
+                    min_bound=max(0.0, key_ratio_trigger - 0.05),
+                    severity=severity,
+                )
+            )
+    return rules

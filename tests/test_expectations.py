@@ -268,6 +268,82 @@ def test_run_validation_expectations_freeze_delta_watermark(spark, tmp_path):
     assert CheckpointStore(spark, ck).last_watermark("wm") == "399"
 
 
+def test_suggest_metric_rules_baseline_roundtrip(spark):
+    """Constraint suggestion: a healthy baseline's suggested suite passes
+    on the baseline itself and on a same-distribution batch, and the right
+    rules trip on corrupted batches."""
+    from ndap_data_validator_spark.rules.inference import (
+        profile_columns,
+        suggest_metric_rules,
+    )
+
+    pdf = _pdf()
+    base = spark.createDataFrame(pdf)
+    rules = suggest_metric_rules(profile_columns(base))
+    by_name = {r.name: r for r in rules}
+
+    # the expected families were suggested
+    assert "rows__row_count" in by_name
+    assert "amount__mean" in by_name and "amount__min" in by_name
+    assert "role__domain" in by_name  # 2-value domain → compliance rule
+    assert "conv_id__distinct_ratio" in by_name  # key-like column
+    assert by_name["text__null_fraction"].max_bound == pytest.approx(
+        0.025 * 1.5
+    )
+    assert all(r.severity == "warn" for r in rules)  # draft suite
+
+    # self-check: the baseline passes its own suite (exact distinct so the
+    # HLL-derived key-ratio rule can't flake)
+    rep = metric_expectations(base, rules, approx_distinct=False)
+    failed = [r["rule"] for r in rep.collect() if not r["passed"]]
+    assert failed == [], failed
+
+    # corrupted batches trip the right rules
+    half = spark.createDataFrame(pdf.iloc[: len(pdf) // 4])
+    rep = metric_expectations(half, rules, approx_distinct=False)
+    bad = {r["rule"] for r in rep.collect() if not r["passed"]}
+    assert "rows__row_count" in bad
+
+    shifted = spark.createDataFrame(pdf.assign(amount=pdf["amount"] + 1000))
+    rep = metric_expectations(shifted, rules, approx_distinct=False)
+    bad = {r["rule"] for r in rep.collect() if not r["passed"]}
+    assert {"amount__mean", "amount__max"} <= bad
+
+    new_role = spark.createDataFrame(pdf.assign(role="operator"))
+    rep = metric_expectations(new_role, rules, approx_distinct=False)
+    bad = {r["rule"] for r in rep.collect() if not r["passed"]}
+    assert "role__domain" in bad
+
+
+def test_suggest_metric_rules_quoting_and_floors():
+    from ndap_data_validator_spark.rules.inference import suggest_metric_rules
+
+    prof = [
+        {
+            "column": "weird",
+            "dtype": "string",
+            "n": 100,
+            "nulls": 0,
+            "null_frac": 0.0,
+            "n_distinct_approx": 2,
+            "min": None,
+            "max": None,
+            "mean": None,
+            "stddev": None,
+            "regex_fracs": {},
+            "domain": ["it's", "b"],
+        }
+    ]
+    rules = suggest_metric_rules(prof, severity="error")
+    by_name = {r.name: r for r in rules}
+    # zero observed nulls → the floor, never a promised zero
+    assert by_name["weird__null_fraction"].max_bound == 0.001
+    # embedded quote is SQL-escaped
+    assert "'it''s'" in by_name["weird__domain"].expression
+    assert all(r.severity == "error" for r in rules)
+    assert suggest_metric_rules([]) == []
+
+
 def test_rule_validation():
     with pytest.raises(ValueError):
         MetricRule("a", "mean", column="x")  # no bounds

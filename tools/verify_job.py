@@ -1002,5 +1002,34 @@ assert exp_out.passed_all is False
 print(f"pipeline expectations: {n_over} partition(s) over cap={cap}, "
       f"withheld from publish ({len(pub_parts)} published)")
 
+# constraint suggestion: a healthy baseline's suggested suite must pass on
+# the baseline itself (exact distinct so the HLL-derived key rule can't
+# flake) and trip on a corrupted batch
+from ndap_data_validator_spark.rules.inference import (
+    profile_columns,
+    suggest_metric_rules,
+)
+
+base_cols = ["conv_id", "turn_idx", "role", "text"]
+suite = suggest_metric_rules(profile_columns(df.select(*base_cols)))
+self_rep = metric_expectations(
+    df.select(*base_cols), suite, approx_distinct=False
+)
+self_failed = [r["rule"] for r in self_rep.collect() if not r["passed"]]
+assert self_failed == [], self_failed
+corrupt = df.select(*base_cols).limit(1000).withColumn(
+    "turn_idx", F.col("turn_idx") + F.lit(1_000_000)
+)
+bad = {
+    r["rule"]
+    for r in metric_expectations(
+        corrupt, suite, approx_distinct=False
+    ).collect()
+    if not r["passed"]
+}
+assert "rows__row_count" in bad and "turn_idx__max" in bad, bad
+print(f"suggested suite: {len(suite)} rules, baseline clean; corrupted "
+      f"batch trips {sorted(bad)}")
+
 print("JOB OK")
 spark.stop()
