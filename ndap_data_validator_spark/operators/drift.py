@@ -74,6 +74,8 @@ class DriftResult:
     psi: float
     baseline_total: int
     current_total: int
+    js: float = 0.0  # Jensen-Shannon divergence (nats), bounded [0, ln 2]
+    w1: float = 0.0  # Wasserstein-1 on the bin grid, in value units
 
     def drifted(self, ks_threshold: float = 0.1, psi_threshold: float = 0.2) -> bool:
         return self.ks > ks_threshold or self.psi > psi_threshold
@@ -87,7 +89,13 @@ def compare(
     baseline: dict[str, dict], current: dict[str, dict]
 ) -> list[DriftResult]:
     """Driver math over tiny per-bin frames: KS = max |ΔCDF|,
-    PSI = Σ (p−q)·ln(p/q) with epsilon smoothing on empty bins."""
+    PSI = Σ (p−q)·ln(p/q) with epsilon smoothing on empty bins,
+    JS = ½KL(p‖m) + ½KL(q‖m) with m = (p+q)/2 (no smoothing needed —
+    m > 0 wherever either side has mass), and W1 = Σ |ΔCDF|·gap over the
+    bin grid with under/overflow mass clamped to the grid edges (the two
+    open-ended buckets have no finite width, so their mass sits AT lo/hi;
+    W1 is therefore a lower bound when out-of-range drift exists, and the
+    overflow counts themselves are the signal for that case)."""
     results = []
     for col, base in baseline.items():
         cur = current.get(col)
@@ -100,18 +108,29 @@ def compare(
         if tp == 0 or tq == 0:
             results.append(DriftResult(col, 0.0, 0.0, tp, tq))
             continue
+        # mass positions: underflow at lo, bin i at its center, overflow
+        # at hi — shared by both sides, so gaps are [w/2, w×(n−1), w/2]
+        w = (base["hi"] - base["lo"]) / n_bins
+        gaps = [w / 2.0] + [w] * (n_bins - 1) + [w / 2.0]
         eps = 1e-6
-        ks = 0.0
+        ks = w1 = 0.0
         cp = cq = 0.0
-        psi = 0.0
-        for pi, qi in zip(p, q):
+        psi = js = 0.0
+        for i, (pi, qi) in enumerate(zip(p, q)):
             fp, fq = pi / tp, qi / tq
             cp += fp
             cq += fq
             ks = max(ks, abs(cp - cq))
+            if i < len(gaps):
+                w1 += abs(cp - cq) * gaps[i]
             a, b = max(fq, eps), max(fp, eps)  # PSI: current vs expected
             psi += (a - b) * math.log(a / b)
-        results.append(DriftResult(col, ks, psi, tp, tq))
+            m = (fp + fq) / 2.0
+            if fp > 0:
+                js += 0.5 * fp * math.log(fp / m)
+            if fq > 0:
+                js += 0.5 * fq * math.log(fq / m)
+        results.append(DriftResult(col, ks, psi, tp, tq, js, w1))
     return results
 
 

@@ -203,3 +203,83 @@ def test_categorical_drift_null_category_and_side_excluded(spark):
     # only the two 'x' rows survive: one per side, zero drift, one category
     assert got["n_categories"] == 1
     assert abs(got["chi2_cat"]) < 1e-12
+
+
+def _np_js_w1(p_counts, q_counts, lo, hi, n_bins):
+    """Independent numpy oracle for JS divergence (nats) and binned W1
+    with under/overflow mass clamped to the grid edges."""
+    import numpy as np
+
+    p = np.array([p_counts.get(i, 0) for i in range(n_bins + 2)], dtype=float)
+    q = np.array([q_counts.get(i, 0) for i in range(n_bins + 2)], dtype=float)
+    p /= p.sum()
+    q /= q.sum()
+    m = (p + q) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kl_pm = np.where(p > 0, p * np.log(p / m), 0.0).sum()
+        kl_qm = np.where(q > 0, q * np.log(q / m), 0.0).sum()
+    js = 0.5 * kl_pm + 0.5 * kl_qm
+    w = (hi - lo) / n_bins
+    pos = np.concatenate(
+        ([lo], lo + w * (np.arange(1, n_bins + 1) - 0.5), [hi])
+    )
+    cdf_gap = np.abs(np.cumsum(p - q))[:-1]
+    w1 = float((cdf_gap * np.diff(pos)).sum())
+    return float(js), w1
+
+
+def test_compare_js_w1_match_numpy_oracle():
+    base = {
+        "x": {"lo": 0.0, "hi": 10.0, "n_bins": 5,
+              "counts": {0: 3, 1: 10, 2: 20, 3: 15, 5: 7, 6: 2}},
+    }
+    cur = {
+        "x": {"lo": 0.0, "hi": 10.0, "n_bins": 5,
+              "counts": {1: 4, 2: 9, 3: 22, 4: 11, 5: 14}},
+    }
+    (r,) = drift.compare(base, cur)
+    js, w1 = _np_js_w1(
+        base["x"]["counts"], cur["x"]["counts"], 0.0, 10.0, 5
+    )
+    assert abs(r.js - js) < 1e-12
+    assert abs(r.w1 - w1) < 1e-12
+    # bounds: JS ≤ ln 2; W1 ≤ grid span
+    import math
+
+    assert 0.0 < r.js <= math.log(2.0) + 1e-12
+    assert 0.0 < r.w1 <= 10.0
+
+
+def test_compare_js_w1_identical_and_disjoint():
+    import math
+
+    same = {"x": {"lo": 0.0, "hi": 8.0, "n_bins": 4,
+                  "counts": {1: 5, 2: 5, 3: 5, 4: 5}}}
+    (r0,) = drift.compare(same, same)
+    assert r0.js == 0.0 and r0.w1 == 0.0 and r0.ks == 0.0
+    # fully disjoint support → JS hits its ln 2 maximum
+    a = {"x": {"lo": 0.0, "hi": 8.0, "n_bins": 4, "counts": {1: 10, 2: 10}}}
+    b = {"x": {"lo": 0.0, "hi": 8.0, "n_bins": 4, "counts": {3: 10, 4: 10}}}
+    (r1,) = drift.compare(a, b)
+    assert abs(r1.js - math.log(2.0)) < 1e-12
+    # unit-shifted point masses two bins apart: W1 = bin distance = 4.0
+    pa = {"x": {"lo": 0.0, "hi": 8.0, "n_bins": 4, "counts": {1: 10}}}
+    pb = {"x": {"lo": 0.0, "hi": 8.0, "n_bins": 4, "counts": {3: 10}}}
+    (r2,) = drift.compare(pa, pb)
+    assert abs(r2.w1 - 4.0) < 1e-12
+
+
+def test_drift_check_carries_js_w1_through_spark(spark):
+    """End-to-end: snapshot → drift_check surfaces the new metrics, and a
+    mean shift moves both JS and W1 while same-seed data stays near zero."""
+    base_df = transcripts(spark, 3_000, 64, seed=41, inject_violations=False)
+    same_df = transcripts(spark, 3_000, 64, seed=43, inject_violations=False)
+    snap = drift.snapshot(base_df, ["turn_idx"], n_bins=16)
+    (r_same,) = drift.drift_check(same_df, snap)
+    shifted_df = same_df.withColumn(
+        "turn_idx", (F.col("turn_idx") + F.lit(20)).cast("int")
+    )
+    (r_shift,) = drift.drift_check(shifted_df, snap)
+    assert r_shift.js > r_same.js
+    assert r_shift.w1 > r_same.w1 + 1.0
+    assert r_same.w1 < 5.0
