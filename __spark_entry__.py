@@ -457,7 +457,8 @@ _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS = 0.0, 500_000.0, 20
 
 def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift between two halves of orders (orderdate ≤1997 vs >1997), BOTH
-    flavors in one row (consolidated r04, cap): binned KS/PSI and the
+    flavors in one row (consolidated r04, cap): binned KS/PSI (plus
+    Jensen-Shannon and grid-Wasserstein-1 from the same bins, r05) and the
     fully distributed exact two-sample KS (per-value counts → range-sliced
     prefix-sum CDFs, no data-sized single task), all derived from ONE
     shared scan's per-value counts (r05), PLUS the categorical drift block
@@ -534,13 +535,16 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.column,
             round(r.ks, 6),
             round(r.psi, 4),
+            round(r.js, 6),
+            round(r.w1, 3),
             round(ks_exact, 6),
             "o_orderpriority",
             round(cat["psi_cat"], 6),
             round(cat["chi2_cat"], 4),
             int(cat["n_categories"]),
         )],
-        "column string, ks_binned double, psi double, ks_exact double, "
+        "column string, ks_binned double, psi double, js double, w1 double, "
+        "ks_exact double, "
         "cat_column string, psi_cat double, chi2_cat double, n_categories int",
     )
 
@@ -3501,11 +3505,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(b.c, 0)::DOUBLE / (SELECT SUM(c) FROM b) AS fp,
                    COALESCE(q.c, 0)::DOUBLE / (SELECT SUM(c) FROM q) AS fq
             FROM bins LEFT JOIN b ON bins.bin_id = b.bin_id LEFT JOIN q ON bins.bin_id = q.bin_id),
-      cdf AS (SELECT SUM(fp) OVER (ORDER BY bin_id) AS cp,
+      cdf AS (SELECT bin_id, SUM(fp) OVER (ORDER BY bin_id) AS cp,
                      SUM(fq) OVER (ORDER BY bin_id) AS cq FROM f),
       k AS (SELECT MAX(ABS(cp - cq)) AS ks FROM cdf),
-      p AS (SELECT SUM((GREATEST(fq, 1e-6) - GREATEST(fp, 1e-6)) * LN(GREATEST(fq, 1e-6) / GREATEST(fp, 1e-6))) AS psi FROM f)
-      SELECT 'o_totalprice' AS "column", ROUND((SELECT ks FROM k), 6) AS ks_binned, ROUND((SELECT psi FROM p), 4) AS psi
+      p AS (SELECT SUM((GREATEST(fq, 1e-6) - GREATEST(fp, 1e-6)) * LN(GREATEST(fq, 1e-6) / GREATEST(fp, 1e-6))) AS psi FROM f),
+      j AS (SELECT SUM(
+              CASE WHEN fp > 0 THEN 0.5 * fp * LN(fp / ((fp + fq) / 2)) ELSE 0 END
+            + CASE WHEN fq > 0 THEN 0.5 * fq * LN(fq / ((fp + fq) / 2)) ELSE 0 END) AS js FROM f),
+      wd AS (SELECT SUM(ABS(cp - cq) * CASE WHEN bin_id = 0 OR bin_id = {_DRIFT_BINS} THEN {w} / 2
+                                            WHEN bin_id < {_DRIFT_BINS} THEN {w}
+                                            ELSE 0 END) AS w1 FROM cdf)
+      SELECT 'o_totalprice' AS "column", ROUND((SELECT ks FROM k), 6) AS ks_binned, ROUND((SELECT psi FROM p), 4) AS psi,
+             ROUND((SELECT js FROM j), 6) AS js, ROUND((SELECT w1 FROM wd), 3) AS w1
     """
 
     drift_exact_ks = """
@@ -3544,7 +3555,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     drift_report = f"""
-      SELECT b."column", b.ks_binned, b.psi, e.ks_exact,
+      SELECT b."column", b.ks_binned, b.psi, b.js, b.w1, e.ks_exact,
              c.cat_column, c.psi_cat, c.chi2_cat, c.n_categories
       FROM ({drift_sql}) b
       JOIN ({drift_exact_ks}) e USING ("column")
