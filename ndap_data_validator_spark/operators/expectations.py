@@ -44,12 +44,19 @@ the partition in ``expectations_summary`` — same contract as
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import json
+from dataclasses import asdict, dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["MetricRule", "metric_expectations", "expectations_summary"]
+__all__ = [
+    "MetricRule",
+    "metric_expectations",
+    "expectations_summary",
+    "suite_to_json",
+    "suite_from_json",
+]
 
 GLOBAL_PARTITION = "<all>"
 
@@ -108,6 +115,25 @@ class MetricRule:
             raise ValueError(
                 f"severity must be 'error' or 'warn', got {self.severity!r}"
             )
+
+
+def suite_to_json(rules: list[MetricRule]) -> str:
+    """Deterministic JSON for an expectation suite, so a suggested suite
+    (``rules.inference.suggest_metric_rules`` over a healthy baseline) can
+    be persisted alongside the checkpoint store and replayed on every
+    later batch. Keys are sorted and rule order preserved — the same suite
+    always serializes to the same bytes, so the file is digest-stable."""
+    return json.dumps([asdict(r) for r in rules], indent=2, sort_keys=True)
+
+
+def suite_from_json(text: str) -> list[MetricRule]:
+    """Inverse of :func:`suite_to_json`. Every entry re-enters
+    ``MetricRule.__post_init__`` validation, so a hand-edited or corrupted
+    suite fails fast here instead of mid-run."""
+    data = json.loads(text)
+    if not isinstance(data, list):
+        raise ValueError("expectation suite JSON must be a list of rules")
+    return [MetricRule(**d) for d in data]
 
 
 def _value_expr(

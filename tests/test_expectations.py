@@ -359,3 +359,53 @@ def test_rule_validation():
         MetricRule("a", "mean", column="x", min_bound=5, max_bound=1)
     with pytest.raises(ValueError):
         metric_expectations(None, [])
+
+
+def test_suite_json_roundtrip_and_digest_stability(spark):
+    """suggest → persist → reload must be lossless: the reloaded suite
+    compares equal rule-for-rule and produces the identical run digest,
+    so a resumed run driven from the JSON file skips nothing."""
+    from ndap_data_validator_spark.operators.expectations import (
+        suite_from_json,
+        suite_to_json,
+    )
+    from ndap_data_validator_spark.rules.inference import (
+        profile_columns,
+        suggest_metric_rules,
+    )
+    from ndap_data_validator_spark.rules.model import run_rule_digest
+    from ndap_data_validator_spark.sources.datagen import transcripts
+
+    base = transcripts(spark, 2_000, 64, seed=42, inject_violations=False)
+    rules = suggest_metric_rules(profile_columns(base, ["turn_idx", "role"]))
+    assert rules
+    text = suite_to_json(rules)
+    back = suite_from_json(text)
+    assert back == rules
+    # byte-determinism: same suite → same JSON → same digest
+    assert suite_to_json(back) == text
+    assert run_rule_digest("seed", None, None, back) == run_rule_digest(
+        "seed", None, None, rules
+    )
+
+
+def test_suite_from_json_rejects_corrupt_suites():
+    import pytest
+
+    from ndap_data_validator_spark.operators.expectations import (
+        MetricRule,
+        suite_from_json,
+        suite_to_json,
+    )
+
+    with pytest.raises(ValueError):
+        suite_from_json('{"not": "a list"}')
+    # a tampered rule re-enters dataclass validation on load
+    bad = suite_to_json(
+        [MetricRule("r", "row_count", min_bound=1.0)]
+    ).replace("row_count", "rowcount")
+    with pytest.raises(ValueError):
+        suite_from_json(bad)
+    # unknown keys (schema drift in the file itself) fail fast too
+    with pytest.raises(TypeError):
+        suite_from_json('[{"name": "x", "metric": "row_count", "min_bound": 1, "extra": 2}]')
