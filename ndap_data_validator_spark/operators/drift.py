@@ -444,3 +444,218 @@ def categorical_drift(
     return categorical_drift_from_counts(
         categorical_counts(df, column, side_a), smoothing=smoothing
     )
+
+
+def snapshot_to_json(snap: dict[str, dict]) -> str:
+    """Deterministic JSON for a baseline snapshot (:func:`snapshot`), so
+    the grid + histogram a run drifts against can be persisted next to the
+    checkpoint store and replayed on every later batch — same bytes for
+    the same snapshot, so the file is digest-stable."""
+    import json
+
+    out = {}
+    for col in sorted(snap):
+        s = snap[col]
+        out[col] = {
+            "lo": float(s["lo"]),
+            "hi": float(s["hi"]),
+            "n_bins": int(s["n_bins"]),
+            # JSON object keys are strings; sort numerically for stability
+            "counts": {
+                str(k): int(s["counts"][k])
+                for k in sorted(s["counts"], key=int)
+            },
+        }
+    return json.dumps(out, indent=2, sort_keys=True)
+
+
+def snapshot_from_json(text: str) -> dict[str, dict]:
+    """Inverse of :func:`snapshot_to_json` (bin ids back to int; shape
+    validated so a truncated or hand-edited file fails fast here)."""
+    import json
+
+    data = json.loads(text)
+    if not isinstance(data, dict):
+        raise ValueError("drift snapshot JSON must be an object of columns")
+    out: dict[str, dict] = {}
+    for col, s in data.items():
+        try:
+            out[col] = {
+                "lo": float(s["lo"]),
+                "hi": float(s["hi"]),
+                "n_bins": int(s["n_bins"]),
+                "counts": {int(k): int(v) for k, v in s["counts"].items()},
+            }
+        except (KeyError, TypeError, ValueError) as e:
+            raise ValueError(f"drift snapshot column {col!r} is malformed: {e}")
+        if out[col]["n_bins"] < 1 or out[col]["hi"] <= out[col]["lo"]:
+            raise ValueError(f"drift snapshot column {col!r} has a bad grid")
+    return out
+
+
+def drift_report_partitioned(
+    df: DataFrame,
+    key,
+    baseline: dict[str, dict],
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """PER-PARTITION drift vs a dataset-level baseline snapshot, entirely
+    in Catalyst — the checkpointed-run form of :func:`drift_check`, built
+    for 10^5-partition tables where collecting per-partition histograms to
+    the driver (as the interactive path does for ONE frame) would not fly.
+
+    Per snapshot column: ONE groupBy((partition, bin)) count of the
+    current rows bucketed on the BASELINE grid (map-side combine; the only
+    big-data op), then the baseline's per-bin fraction / CDF / gap enter
+    as 22 struct LITERALS exploded onto each partition's row set, so the
+    KS / PSI / JS / W1 folds run as window-cumsum + aggregate over
+    ≤ n_bins+2 rows per partition — no driver collect, no join against a
+    Python-RDD frame, every post-scan frame is (#partitions × bins)-sized.
+
+    Output: one row per (partition_id, column) —
+    (ks, psi, js, w1, baseline_total, current_total, drifted) with the
+    same math as :func:`compare` (eps-smoothed PSI, mixture-KL JS,
+    edge-clamped W1). Partitions where the column is entirely NULL carry
+    no rows (mirrors compare()'s zero-total skip); baseline columns with
+    an empty histogram are skipped."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    key = key if not isinstance(key, str) else F.col(key)
+    eps = 1e-6
+    pieces = []
+    for col in sorted(baseline):
+        base = baseline[col]
+        n_bins = base["n_bins"]
+        p = _vectorize(base["counts"], n_bins)
+        tp = sum(p)
+        if tp == 0:
+            continue
+        w = (base["hi"] - base["lo"]) / n_bins
+        gaps = [w / 2.0] + [w] * (n_bins - 1) + [w / 2.0] + [0.0]
+        cp = 0.0
+        metas = []
+        for i, pi in enumerate(p):
+            fp = pi / tp
+            cp += fp
+            metas.append(
+                F.struct(
+                    F.lit(i).alias("bin_id"),
+                    F.lit(fp).alias("fp"),
+                    F.lit(cp).alias("cp"),
+                    F.lit(gaps[i]).alias("gap"),
+                )
+            )
+        cur = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(
+                key.alias("partition_id"),
+                F.width_bucket(
+                    F.col(col).cast("double"),
+                    F.lit(float(base["lo"])),
+                    F.lit(float(base["hi"])),
+                    F.lit(n_bins),
+                ).alias("bin_id"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        parts = cur.groupBy("partition_id").agg(F.sum("cnt").alias("tq"))
+        dense = parts.select(
+            "partition_id", "tq", F.explode(F.array(*metas)).alias("b")
+        ).select(
+            "partition_id",
+            "tq",
+            F.col("b.bin_id").alias("bin_id"),
+            F.col("b.fp").alias("fp"),
+            F.col("b.cp").alias("cp"),
+            F.col("b.gap").alias("gap"),
+        )
+        j = dense.join(cur, ["partition_id", "bin_id"], "left").select(
+            "partition_id",
+            "bin_id",
+            "fp",
+            "cp",
+            "gap",
+            "tq",
+            (F.coalesce(F.col("cnt"), F.lit(0)) / F.col("tq")).alias("fq"),
+        )
+        win = (
+            Window.partitionBy("partition_id")
+            .orderBy("bin_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        j = j.withColumn("cq", F.sum("fq").over(win))
+        fp, fq = F.col("fp"), F.col("fq")
+        m = (fp + fq) / F.lit(2.0)
+        sp = F.greatest(fp, F.lit(eps))
+        sq = F.greatest(fq, F.lit(eps))
+        agg = j.groupBy("partition_id").agg(
+            F.max(F.abs(F.col("cp") - F.col("cq"))).alias("ks"),
+            F.sum((sq - sp) * F.log(sq / sp)).alias("psi"),
+            F.sum(
+                F.when(fp > 0, F.lit(0.5) * fp * F.log(fp / m)).otherwise(0.0)
+                + F.when(fq > 0, F.lit(0.5) * fq * F.log(fq / m)).otherwise(0.0)
+            ).alias("js"),
+            F.sum(F.abs(F.col("cp") - F.col("cq")) * F.col("gap")).alias("w1"),
+            F.first("tq").alias("current_total"),
+        )
+        pieces.append(
+            agg.select(
+                "partition_id",
+                F.lit(col).alias("column"),
+                "ks",
+                "psi",
+                "js",
+                "w1",
+                F.lit(tp).cast("long").alias("baseline_total"),
+                F.col("current_total").cast("long"),
+                (
+                    (F.col("ks") > F.lit(float(ks_threshold)))
+                    | (F.col("psi") > F.lit(float(psi_threshold)))
+                ).alias("drifted"),
+            )
+        )
+    if not pieces:
+        raise ValueError("baseline snapshot has no usable columns")
+    return reduce(DataFrame.unionByName, pieces)
+
+
+@dataclass(frozen=True)
+class DriftRule:
+    """Drift as a first-class RULE FAMILY of a checkpointed run: the
+    baseline snapshot (:func:`snapshot`, round-tripped through
+    :func:`snapshot_to_json`) plus the verdict thresholds and a severity.
+
+    ``severity="error"`` makes a drifted partition a DATA failure — it is
+    withheld from the publish gate and freezes the delta watermark, so a
+    retry re-examines the same rows; ``"warn"`` reports only. Either way
+    the per-(partition, column) report lands under ``report_path`` and the
+    drifted column names ride ``metrics_json`` for the anomaly history.
+
+    ``digest_payload`` is the rule's identity for the run digest: the
+    md5 of the canonical snapshot JSON plus thresholds/severity, so
+    re-baselining (or moving a threshold) invalidates 'done' partitions
+    exactly like editing any other rule."""
+
+    baseline: dict[str, dict]
+    ks_threshold: float = 0.1
+    psi_threshold: float = 0.2
+    severity: str = "error"
+
+    def __post_init__(self) -> None:
+        if self.severity not in ("error", "warn"):
+            raise ValueError("DriftRule severity must be 'error' or 'warn'")
+
+    def digest_payload(self) -> dict:
+        import hashlib
+
+        return {
+            "baseline_md5": hashlib.md5(
+                snapshot_to_json(self.baseline).encode("utf-8")
+            ).hexdigest(),
+            "ks": float(self.ks_threshold),
+            "psi": float(self.psi_threshold),
+            "severity": self.severity,
+        }

@@ -46,6 +46,9 @@ class RunOutcome:
     # dataset-level expectation report (one row per partition × MetricRule)
     # when metric_rules were given; None otherwise
     expectations: DataFrame | None = None
+    # per-(partition, column) drift report vs the DriftRule baseline when
+    # drift_rule was given; None otherwise
+    drift: DataFrame | None = None
 
 
 def partition_key(partition_by: str | Column) -> Column:
@@ -75,6 +78,7 @@ def run_validation(
     check_rules: list | None = None,
     max_violations_per_rule: int | None = None,
     metric_rules: list | None = None,
+    drift_rule=None,
 ) -> RunOutcome:
     """Checkpointed validation run.
 
@@ -135,6 +139,18 @@ def run_validation(
     only); the failed rule names ride ``metrics_json`` for the cross-run
     anomaly history; and the rules enter the run digest, so changing them
     invalidates 'done' partitions exactly like every other rule family.
+
+    ``drift_rule`` (optional ``operators.drift.DriftRule``) runs the
+    KS/PSI distribution-drift check against the rule's baseline snapshot
+    PER PARTITION over the same resume slice — one groupBy((partition,
+    bin)) per baseline column, the baseline entering as broadcast-grade
+    literals (operators/drift.drift_report_partitioned; no driver
+    collect). The per-(partition, column) report lands at
+    ``{report_path}/drift_report``; with ``severity="error"`` a drifted
+    partition is withheld from publish and freezes the delta watermark
+    (``"warn"`` reports only); the drifted column names ride
+    ``metrics_json``; and the baseline digest + thresholds enter the run
+    digest, so re-baselining invalidates 'done' partitions.
     """
     if load_mode not in LOAD_MODES:
         raise ValueError(f"load_mode must be one of {LOAD_MODES}")
@@ -146,7 +162,9 @@ def run_validation(
     # resume would mix rule versions within one report
     from ndap_data_validator_spark.rules.model import run_rule_digest
 
-    digest = run_rule_digest(digest, sequence_rule, check_rules, metric_rules)
+    digest = run_rule_digest(
+        digest, sequence_rule, check_rules, metric_rules, drift_rule
+    )
     store = CheckpointStore(spark, checkpoint_path)
 
     key = partition_key(partition_by)
@@ -206,6 +224,35 @@ def run_validation(
                 F.col("warned_rules").alias("exp_warned_rules"),
                 F.col("passed").alias("exp_passed"),
             )
+            .persist()
+        )
+
+    # Per-partition drift vs the rule's baseline snapshot, over the SAME
+    # resume slice. The tiny (partitions × columns) summary is persisted
+    # because, like exp_summary, it can feed three actions (metrics_json,
+    # publish gate, watermark fold).
+    drift_rep = None
+    drift_summary = None
+    if drift_rule is not None:
+        from ndap_data_validator_spark.operators.drift import (
+            drift_report_partitioned,
+        )
+
+        drift_rep = drift_report_partitioned(
+            remaining,
+            key,
+            drift_rule.baseline,
+            ks_threshold=drift_rule.ks_threshold,
+            psi_threshold=drift_rule.psi_threshold,
+        )
+        drift_summary = (
+            drift_rep.groupBy("partition_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("drifted"), F.col("column")))
+                ).alias("drifted_columns")
+            )
+            .withColumn("drift_passed", F.size("drifted_columns") == 0)
             .persist()
         )
 
@@ -302,6 +349,10 @@ def run_validation(
             # dataset-level expectation verdicts: one row per (partition,
             # rule) with value/bounds/passed, same overwrite contract
             _write_partitioned(exp_report, f"{report_path}/metric_expectations")
+        if drift_rep is not None:
+            # per-(partition, column) KS/PSI/JS/W1 vs the baseline grid,
+            # same overwrite contract
+            _write_partitioned(drift_rep, f"{report_path}/drift_report")
 
     # Checkpoint metrics are assembled DISTRIBUTED: per-column stats fold to
     # a map per partition, join the summary, and to_json builds the record —
@@ -323,13 +374,8 @@ def run_validation(
             ).alias("columns")
         )
         summary_for_metrics = result.summary.join(per_col_map, "partition_id", "left")
-        json_fields = [
-            F.col("rows"),
-            F.col("failed_count"),
-            F.col("failed_columns"),
-            F.col("passed"),
-            F.col("columns"),
-        ]
+        passed_expr = F.col("passed")
+        extra_fields = []
         if exp_summary is not None:
             # a partition's recorded verdict folds in its error-severity
             # expectation failures; the rule names ride along for the
@@ -337,22 +383,40 @@ def run_validation(
             summary_for_metrics = summary_for_metrics.join(
                 exp_summary, "partition_id", "left"
             )
-            json_fields = [
-                F.col("rows"),
-                F.col("failed_count"),
-                F.col("failed_columns"),
-                (
-                    F.col("passed")
-                    & F.coalesce(F.col("exp_passed"), F.lit(True))
-                ).alias("passed"),
+            passed_expr = passed_expr & F.coalesce(
+                F.col("exp_passed"), F.lit(True)
+            )
+            extra_fields += [
                 F.coalesce(
                     F.col("exp_failed_rules"), F.array().cast("array<string>")
                 ).alias("expectation_failed_rules"),
                 F.coalesce(
                     F.col("exp_warned_rules"), F.array().cast("array<string>")
                 ).alias("expectation_warned_rules"),
-                F.col("columns"),
             ]
+        if drift_summary is not None:
+            # drifted column names ride along for the anomaly history; only
+            # error severity folds into the recorded verdict
+            summary_for_metrics = summary_for_metrics.join(
+                drift_summary, "partition_id", "left"
+            )
+            if drift_rule.severity == "error":
+                passed_expr = passed_expr & F.coalesce(
+                    F.col("drift_passed"), F.lit(True)
+                )
+            extra_fields.append(
+                F.coalesce(
+                    F.col("drifted_columns"), F.array().cast("array<string>")
+                ).alias("drifted_columns")
+            )
+        json_fields = [
+            F.col("rows"),
+            F.col("failed_count"),
+            F.col("failed_columns"),
+            passed_expr.alias("passed"),
+            *extra_fields,
+            F.col("columns"),
+        ]
         metrics_frame = summary_for_metrics.select(
             F.lit(run_id).alias("run_id"),
             F.col("partition_id"),
@@ -379,6 +443,17 @@ def run_validation(
                 exp_summary.where(F.col("exp_passed")).select("partition_id"),
                 "partition_id",
                 "left_semi",
+            )
+        if drift_summary is not None and drift_rule.severity == "error":
+            # anti-join against FAILURES (not semi against passes): a
+            # partition where every baseline column is null carries no
+            # drift rows at all and must still publish
+            passed_parts = passed_parts.join(
+                drift_summary.where(~F.col("drift_passed")).select(
+                    "partition_id"
+                ),
+                "partition_id",
+                "left_anti",
             )
         _write_partitioned(
             remaining.withColumn("partition_id", key).join(
@@ -420,9 +495,28 @@ def run_validation(
                     ).alias("n_exp_failed")
                 )
             )
+        drift_gates_wm = (
+            drift_summary is not None and drift_rule.severity == "error"
+        )
+        if drift_gates_wm:
+            # so is error-severity drift: the batch stays re-pickable until
+            # a later batch (or re-baseline) clears it
+            wm_fold = wm_fold.crossJoin(
+                drift_summary.agg(
+                    F.coalesce(
+                        F.sum((~F.col("drift_passed")).cast("int")), F.lit(0)
+                    ).alias("n_drift_failed")
+                )
+            )
         fold = wm_fold.first()
         n_exp_failed = fold["n_exp_failed"] if exp_summary is not None else 0
-        if fold["n_failed"] == 0 and n_exp_failed == 0 and fold["wm"] is not None:
+        n_drift_failed = fold["n_drift_failed"] if drift_gates_wm else 0
+        if (
+            fold["n_failed"] == 0
+            and n_exp_failed == 0
+            and n_drift_failed == 0
+            and fold["wm"] is not None
+        ):
             store.record_watermark(watermark_col, fold["wm"])
 
     # passed_all folds over every partition recorded for this run — the
@@ -454,6 +548,7 @@ def run_validation(
         passed_all=passed_all,
         result=result,
         expectations=exp_report,
+        drift=drift_rep,
     )
 
 

@@ -282,6 +282,7 @@ def run_rule_digest(
     sequence_rule: SequenceRule | None = None,
     check_rules: list[CheckRule] | None = None,
     metric_rules: list | None = None,
+    drift_rule=None,
 ) -> str:
     """The FULL rule identity of a checkpointed run: the per-column
     assignment digest composed with the run's SequenceRule, CheckRules,
@@ -294,8 +295,15 @@ def run_rule_digest(
     is returned UNCHANGED, so checkpoints written before (or without)
     these rule families stay valid for the classic per-column path. The
     ``metrics`` key likewise enters the payload only when metric rules are
-    present, so seq/CHECK-only digests from earlier versions are stable."""
-    if sequence_rule is None and not check_rules and not metric_rules:
+    present, so seq/CHECK-only digests from earlier versions are stable.
+    Same for ``drift`` (operators/drift.DriftRule): re-baselining or moving
+    a threshold re-keys the run, older digests stay byte-identical."""
+    if (
+        sequence_rule is None
+        and not check_rules
+        and not metric_rules
+        and drift_rule is None
+    ):
         return base_digest
     payload = {
         "base": base_digest,
@@ -322,5 +330,7 @@ def run_rule_digest(
             ]
             for m in metric_rules
         ]
+    if drift_rule is not None:
+        payload["drift"] = drift_rule.digest_payload()
     canonical = json.dumps(payload, sort_keys=True, separators=(",", ":"))
     return hashlib.sha256(canonical.encode("utf-8")).hexdigest()
