@@ -1031,5 +1031,71 @@ assert "rows__row_count" in bad and "turn_idx__max" in bad, bad
 print(f"suggested suite: {len(suite)} rules, baseline clean; corrupted "
       f"batch trips {sorted(bad)}")
 
+# drift as a checkpointed rule family: baseline the clean turn_idx
+# distribution, then run a batch where ONE partition's turn_idx is shifted
+# by many bin widths (range ~0..10000, 32 bins -> width ~312; shift 5000).
+# Exactly that partition must drift, be withheld from publish, and the
+# snapshot must survive a JSON round-trip with an identical digest.
+from ndap_data_validator_spark.operators.drift import (
+    DriftRule,
+    snapshot,
+    snapshot_from_json,
+    snapshot_to_json,
+)
+
+drift_base = tempfile.mkdtemp(prefix="verify_drift_")
+# the drift column must be IDENTICALLY distributed across partitions in
+# the clean state (turn_idx is not: the hot conversation's 0..10k tail
+# lives in one partition, so every OTHER partition would legitimately
+# drift vs a global turn_idx baseline). A hash-derived uniform metric
+# gives each ~10k-row partition the same distribution to binned-KS noise
+# ~1.36/sqrt(n) ≈ 0.014 << the 0.1 threshold.
+# drop the injected null-conv_id rows: they form a ~250-row '<null>'
+# partition whose KS sampling noise (~1.36/sqrt(250) ≈ 0.086 + binning)
+# straddles the 0.1 threshold — this drive asserts the clean/drifted
+# split, not small-sample behavior
+df_m = df_exp.where(F.col("conv_id").isNotNull()).withColumn(
+    "metric",
+    F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(1000)).cast("double"),
+)
+snap = snapshot(df_m, ["metric"])
+snap_json = snapshot_to_json(snap)
+assert snapshot_to_json(snapshot_from_json(snap_json)) == snap_json
+hot_part = F.substring("conv_id", 1, 9) == F.lit("conv-0000")
+df_drift = df_m.withColumn(
+    "metric",
+    F.when(hot_part, F.col("metric") + F.lit(5000)).otherwise(
+        F.col("metric")
+    ),
+)
+# assignments every partition SATISFIES (the exp drive's turn_idx
+# min_value=0 rule fails almost every partition on the injected negative
+# turns, and the null-conv_id partition that used to pass was filtered
+# above) — the publish gate must be decided by the drift rule alone
+assigns_drift = [
+    ColumnAssignment("fy", "Time"),
+    ColumnAssignment("metric", "Measures", "float", min_value=0),
+]
+drift_out = run_validation(
+    spark, df_drift, assigns_drift, part_expr,
+    checkpoint_path=os.path.join(drift_base, "ckpt"),
+    report_path=os.path.join(drift_base, "report"),
+    publish_path=os.path.join(drift_base, "pub"),
+    drift_rule=DriftRule(snapshot_from_json(snap_json)),
+)
+drift_gate = spark.read.parquet(os.path.join(drift_base, "report/drift_report"))
+drifted_parts = {
+    r["partition_id"] for r in drift_gate.where("drifted").collect()
+}
+assert drifted_parts == {"conv-0000"}, drifted_parts
+pub_parts2 = {r["partition_id"] for r in spark.read.parquet(
+    os.path.join(drift_base, "pub")).select("partition_id").distinct().collect()}
+assert "conv-0000" not in pub_parts2 and len(pub_parts2) > 0
+assert drift_out.passed_all is False
+ks_hot = drift_gate.where("drifted").select("ks").first()["ks"]
+print(f"pipeline drift rule: conv-0000 drifted (ks={ks_hot:.3f}), withheld "
+      f"from publish ({len(pub_parts2)} published); snapshot JSON "
+      f"round-trip stable")
+
 print("JOB OK")
 spark.stop()
