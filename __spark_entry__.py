@@ -463,9 +463,17 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sum CDFs, no data-sized single task), all derived from ONE
     shared scan's per-value counts (r05), PLUS the categorical drift block
     (smoothed PSI + two-sample chi-square over o_orderpriority category
-    counts — NEW r05)."""
+    counts — NEW r05), PLUS the PER-PARTITION leg (late r05): the ≤1997
+    histogram (already on the driver from the shared reduction) becomes
+    the baseline snapshot for operators/drift.drift_report_partitioned
+    over the >1997 half keyed by o_orderpriority — the checkpointed-run
+    drift operator (baseline grid as struct literals, one
+    groupBy((partition, bin)) shuffle, window cumsum over ≤ n_bins+2 rows
+    per partition, no driver collect) as long-form scope='<priority>'
+    rows next to the scope='dataset' row."""
     from ndap_data_validator_spark.operators.drift import (
         categorical_drift,
+        drift_report_partitioned,
         ks_exact_from_counts,
         two_sample_value_counts,
     )
@@ -476,9 +484,20 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cached, |distinct values|-sized) counts frame and the exact KS runs
     # its range-slice plan over the same cache (r05; the r4 entry scanned
     # orders three times).
-    counts = two_sample_value_counts(
-        o, "o_totalprice", F.year("o_orderdate") <= 1997
+    counts_pg = two_sample_value_counts(
+        o,
+        "o_totalprice",
+        F.year("o_orderdate") <= 1997,
+        group_cols=["o_orderpriority"],
     ).persist()
+    # the ungrouped per-value counts every numeric leg consumes are a
+    # cheap re-aggregate of the cached per-(priority, value) reduction —
+    # the priority dimension rides the SAME single scan for free
+    counts = (
+        counts_pg.groupBy("v")
+        .agg(F.sum("a_cnt").alias("a_cnt"), F.sum("b_cnt").alias("b_cnt"))
+        .persist()  # both numeric actions read it; don't re-shuffle twice
+    )
     # The categorical block is an independent reduction (different column,
     # own scan) with no data dependency on the numeric legs — submit its
     # job from a worker thread so its wall time overlaps the two serial
@@ -486,7 +505,7 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four back-to-back driver round-trips of pure fixed cost at sf0.1).
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=1)
+    pool = ThreadPoolExecutor(max_workers=2)
     cat_future = pool.submit(
         lambda: categorical_drift(
             o, "o_orderpriority", F.year("o_orderdate") <= 1997
@@ -515,7 +534,26 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
 
         (r,) = drift_mod.compare(grid("a"), grid("b"))
+        # per-partition leg (late r05): the ≤1997 histogram (already on
+        # the driver from the shared reduction) is the baseline snapshot,
+        # and the CURRENT side is the cached per-(priority, value)
+        # reduction itself via drift_report_partitioned's weight= path —
+        # the priority leg rescans NOTHING. Its job overlaps the exact-KS
+        # action on the worker pool; the ≤|priorities|-row result is
+        # collected and assembled into the single literal frame below
+        # (VERDICT r04 #1 pattern: no lit-key join of tiny frames).
+        part_future = pool.submit(
+            lambda: drift_report_partitioned(
+                counts_pg.where(F.col("b_cnt") > 0),
+                "o_orderpriority",
+                {"v": grid("a")["o_totalprice"]},
+                weight="b_cnt",
+            ).collect()
+        )
         ks_exact = ks_exact_from_counts(counts).first()["ks"]
+        part_rows = sorted(
+            part_future.result(), key=lambda p: p["partition_id"]
+        )
         # categorical drift (NEW r05) on the same split, over the
         # categorical column: per-category two-sample counts → smoothed PSI
         # + two-sample chi-square, all Catalyst arithmetic on the
@@ -523,6 +561,7 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat = cat_future.result()
     finally:
         counts.unpersist()
+        counts_pg.unpersist()
         pool.shutdown(wait=False)
     # Every output value is a driver-side scalar at this point — assemble
     # ONE single-slice literal row instead of joining two RDD-backed 1-row
@@ -532,6 +571,7 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _literal_df(
         spark,
         [(
+            "dataset",
             r.column,
             round(r.ks, 6),
             round(r.psi, 4),
@@ -542,9 +582,21 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             round(cat["psi_cat"], 6),
             round(cat["chi2_cat"], 4),
             int(cat["n_categories"]),
-        )],
-        "column string, ks_binned double, psi double, js double, w1 double, "
-        "ks_exact double, "
+        )] + [(
+            p["partition_id"],
+            "o_totalprice",
+            round(p["ks"], 6),
+            round(p["psi"], 4),
+            round(p["js"], 6),
+            round(p["w1"], 3),
+            None,
+            None,
+            None,
+            None,
+            None,
+        ) for p in part_rows],
+        "scope string, column string, ks_binned double, psi double, "
+        "js double, w1 double, ks_exact double, "
         "cat_column string, psi_cat double, chi2_cat double, n_categories int",
     )
 
@@ -3554,12 +3606,57 @@ def oracle_sql() -> dict[str, str]:
       FROM c, t GROUP BY t.A, t.B, t.K
     """
 
+    # per-partition leg: the SAME baseline-fraction/CDF fold as drift_sql,
+    # but the current side grouped by o_orderpriority — one cdf window per
+    # partition, mirroring drift_report_partitioned's per-partition cumsum
+    drift_part_sql = f"""
+      WITH bins AS (SELECT UNNEST(range(0, {_DRIFT_BINS + 2})) AS bin_id),
+      b AS (SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - {_DRIFT_LO}) / {w}) AS INT) + 1, 0), {_DRIFT_BINS + 1}) AS bin_id,
+                   COUNT(*) AS c
+            FROM orders WHERE year(o_orderdate) <= 1997 AND o_totalprice IS NOT NULL GROUP BY 1),
+      bt AS (SELECT SUM(c) AS t FROM b),
+      q AS (SELECT o_orderpriority AS scope,
+                   LEAST(GREATEST(CAST(FLOOR((o_totalprice - {_DRIFT_LO}) / {w}) AS INT) + 1, 0), {_DRIFT_BINS + 1}) AS bin_id,
+                   COUNT(*) AS c
+            FROM orders WHERE year(o_orderdate) > 1997 AND o_totalprice IS NOT NULL GROUP BY 1, 2),
+      qt AS (SELECT scope, SUM(c) AS t FROM q GROUP BY 1),
+      f AS (SELECT qt.scope, bins.bin_id,
+                   COALESCE(b.c, 0)::DOUBLE / bt.t AS fp,
+                   COALESCE(q.c, 0)::DOUBLE / qt.t AS fq
+            FROM qt CROSS JOIN bins CROSS JOIN bt
+            LEFT JOIN b ON bins.bin_id = b.bin_id
+            LEFT JOIN q ON q.scope = qt.scope AND q.bin_id = bins.bin_id),
+      cdf AS (SELECT scope, bin_id, fp, fq,
+                     SUM(fp) OVER (PARTITION BY scope ORDER BY bin_id) AS cp,
+                     SUM(fq) OVER (PARTITION BY scope ORDER BY bin_id) AS cq
+              FROM f)
+      SELECT scope, 'o_totalprice' AS "column",
+             ROUND(MAX(ABS(cp - cq)), 6) AS ks_binned,
+             ROUND(SUM((GREATEST(fq, 1e-6) - GREATEST(fp, 1e-6))
+                       * LN(GREATEST(fq, 1e-6) / GREATEST(fp, 1e-6))), 4) AS psi,
+             ROUND(SUM(
+               CASE WHEN fp > 0 THEN 0.5 * fp * LN(fp / ((fp + fq) / 2)) ELSE 0 END
+             + CASE WHEN fq > 0 THEN 0.5 * fq * LN(fq / ((fp + fq) / 2)) ELSE 0 END), 6) AS js,
+             ROUND(SUM(ABS(cp - cq) * CASE WHEN bin_id = 0 OR bin_id = {_DRIFT_BINS} THEN {w} / 2
+                                           WHEN bin_id < {_DRIFT_BINS} THEN {w}
+                                           ELSE 0 END), 3) AS w1,
+             CAST(NULL AS DOUBLE) AS ks_exact,
+             CAST(NULL AS VARCHAR) AS cat_column,
+             CAST(NULL AS DOUBLE) AS psi_cat,
+             CAST(NULL AS DOUBLE) AS chi2_cat,
+             CAST(NULL AS INTEGER) AS n_categories
+      FROM cdf GROUP BY scope
+    """
+
     drift_report = f"""
-      SELECT b."column", b.ks_binned, b.psi, b.js, b.w1, e.ks_exact,
+      SELECT 'dataset' AS scope,
+             b."column", b.ks_binned, b.psi, b.js, b.w1, e.ks_exact,
              c.cat_column, c.psi_cat, c.chi2_cat, c.n_categories
       FROM ({drift_sql}) b
       JOIN ({drift_exact_ks}) e USING ("column")
       CROSS JOIN ({drift_cat}) c
+      UNION ALL
+      SELECT * FROM ({drift_part_sql}) p
     """
 
     ngram_pairs_cte = r"""

@@ -45,24 +45,53 @@ def snapshot(
     df: DataFrame, columns: list[str], n_bins: int = 32
 ) -> dict[str, dict]:
     """Baseline snapshot for ``columns``: per column the (lo, hi) grid from
-    observed min/max plus the histogram as a dict {bin_id: count}. min/max
-    for all columns come from ONE agg; histograms are one tiny agg each."""
+    observed min/max plus the histogram as a dict {bin_id: count}.
+
+    EXACTLY TWO jobs regardless of column count: one shared agg for every
+    column's min/max, then one shared agg where every column's full
+    histogram is an ``array(count_if(bucket = i))`` expression — all
+    map-side partial counts inside the same scan, one 1-row result. The
+    old shape (one histogram job per column) made baselining an N-column
+    table N+1 scans; at 100 TB that is the difference between profiling
+    costing two passes and costing a day."""
     minmax = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"{c}__lo") for c in columns],
         *[F.max(F.col(c).cast("double")).alias(f"{c}__hi") for c in columns],
     ).first()
-    out: dict[str, dict] = {}
+    grids: dict[str, tuple[float, float]] = {}
     for c in columns:
         lo, hi = minmax[f"{c}__lo"], minmax[f"{c}__hi"]
         if lo is None or hi is None or lo == hi:
             hi = (lo or 0.0) + 1.0
             lo = lo or 0.0
-        rows = histogram(df, c, lo, hi, n_bins).collect()
+        grids[c] = (float(lo), float(hi))
+    hist_exprs = []
+    for c in columns:
+        lo, hi = grids[c]
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_bins)
+        )
+        hist_exprs.append(
+            F.array(
+                *[
+                    F.count(F.when(b == i, F.lit(1)))
+                    for i in range(n_bins + 2)
+                ]
+            ).alias(c)
+        )
+    hists = df.agg(*hist_exprs).first()
+    out: dict[str, dict] = {}
+    for c in columns:
+        lo, hi = grids[c]
         out[c] = {
-            "lo": float(lo),
-            "hi": float(hi),
+            "lo": lo,
+            "hi": hi,
             "n_bins": n_bins,
-            "counts": {int(r["bin_id"]): int(r["bin_count"]) for r in rows},
+            # zero bins stay absent, exactly like the per-column
+            # histogram() aggregate this replaces
+            "counts": {
+                i: int(n) for i, n in enumerate(hists[c]) if n
+            },
         }
     return out
 
@@ -238,7 +267,7 @@ def ks_exact_distributed(
 
 
 def two_sample_value_counts(
-    df: DataFrame, column: str, side_a,
+    df: DataFrame, column: str, side_a, group_cols: list[str] | None = None,
 ) -> DataFrame:
     """ONE scan → per-value two-sample counts ``(v, a_cnt, b_cnt)``: the
     shared reduction from which BOTH the binned drift histograms (a
@@ -247,12 +276,20 @@ def two_sample_value_counts(
     one pass over the data instead of three (r05; the r4 entry scanned
     orders once per histogram plus once for the KS). ``side_a`` is a
     boolean Column splitting the two samples; rows where it is NULL belong
-    to neither and are excluded, like NULL values."""
+    to neither and are excluded, like NULL values.
+
+    ``group_cols`` prepends extra grouping keys — ``(g..., v, a_cnt,
+    b_cnt)`` — so one reduction can also feed PER-GROUP rollups (e.g.
+    :func:`drift_report_partitioned` with ``weight=``); the ungrouped
+    counts are a cheap re-aggregate of this frame over ``v``."""
     keep = F.col(column).isNotNull() & side_a.isNotNull()
     flag = F.when(side_a, 1).otherwise(0)
     return (
         df.where(keep)
-        .groupBy(F.col(column).cast("double").alias("v"))
+        .groupBy(
+            *[F.col(g) for g in (group_cols or [])],
+            F.col(column).cast("double").alias("v"),
+        )
         .agg(
             F.sum(flag).alias("a_cnt"),
             F.sum(F.lit(1) - flag).alias("b_cnt"),
@@ -499,6 +536,7 @@ def drift_report_partitioned(
     baseline: dict[str, dict],
     ks_threshold: float = 0.1,
     psi_threshold: float = 0.2,
+    weight: str | None = None,
 ) -> DataFrame:
     """PER-PARTITION drift vs a dataset-level baseline snapshot, entirely
     in Catalyst — the checkpointed-run form of :func:`drift_check`, built
@@ -518,7 +556,12 @@ def drift_report_partitioned(
     same math as :func:`compare` (eps-smoothed PSI, mixture-KL JS,
     edge-clamped W1). Partitions where the column is entirely NULL carry
     no rows (mirrors compare()'s zero-total skip); baseline columns with
-    an empty histogram are skipped."""
+    an empty histogram are skipped.
+
+    ``weight`` makes ``df`` a PRE-AGGREGATED frame: each row counts for
+    ``weight`` occurrences of its value instead of 1 — the share-the-scan
+    path when a per-value (or per-histogram-table) rollup already exists,
+    identical results to feeding the raw rows."""
     from functools import reduce
 
     from pyspark.sql import Window
@@ -559,9 +602,19 @@ def drift_report_partitioned(
                     F.lit(n_bins),
                 ).alias("bin_id"),
             )
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt")
+                if weight is None
+                else F.sum(F.col(weight)).alias("cnt")
+            )
         )
-        parts = cur.groupBy("partition_id").agg(F.sum("cnt").alias("tq"))
+        # a partition whose (weighted) total is 0 has no distribution to
+        # compare — skip it like the all-NULL case rather than divide by 0
+        parts = (
+            cur.groupBy("partition_id")
+            .agg(F.sum("cnt").alias("tq"))
+            .where(F.col("tq") > 0)
+        )
         dense = parts.select(
             "partition_id", "tq", F.explode(F.array(*metas)).alias("b")
         ).select(

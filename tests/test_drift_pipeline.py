@@ -257,3 +257,81 @@ def test_drift_freezes_delta_watermark(spark, tmp_path):
         drift_rule=DriftRule(snap, severity="warn"),  # warn → advances
     )
     assert CheckpointStore(spark, ck).last_watermark("wm") == str(len(pdf) - 1)
+
+
+def test_partitioned_report_weighted_equals_raw(spark):
+    """weight= (pre-aggregated input) must reproduce the raw-row report
+    exactly: same partitions, same KS/PSI/JS/W1 bit-for-bit, same totals —
+    and the group_cols= form of two_sample_value_counts is a valid feed."""
+    import pyspark.sql.functions as F
+
+    from ndap_data_validator_spark.operators.drift import (
+        two_sample_value_counts,
+    )
+
+    snap = _baseline(spark)
+    sdf = spark.createDataFrame(_pdf())
+    raw = {
+        (r["partition_id"], r["column"]): r
+        for r in drift_report_partitioned(sdf, "part", snap).collect()
+    }
+
+    # pre-aggregate per (part, value) with a two-sample split nobody uses
+    # (side_a constant True) just to exercise the group_cols path; the
+    # current-side weight is the total per-value count
+    counts = two_sample_value_counts(
+        sdf.withColumnRenamed("amount", "v_amount"),
+        "v_amount",
+        F.lit(True),
+        group_cols=["part"],
+    )
+    weighted = {
+        (r["partition_id"], r["column"]): r
+        for r in drift_report_partitioned(
+            counts.withColumnRenamed("v", "amount"),
+            "part",
+            {"amount": snap["amount"]},
+            weight="a_cnt",
+        ).collect()
+    }
+    raw_amount = {k: v for k, v in raw.items() if k[1] == "amount"}
+    assert set(weighted) == set(raw_amount)
+    for k, w in weighted.items():
+        r = raw_amount[k]
+        assert w["ks"] == r["ks"] and w["psi"] == r["psi"], k
+        assert w["js"] == r["js"] and w["w1"] == r["w1"], k
+        assert w["current_total"] == r["current_total"]
+        assert w["drifted"] == r["drifted"]
+
+    # zero-weight partitions are skipped like the all-NULL case
+    zero = counts.withColumn(
+        "a_cnt", F.when(F.col("part") == "p0", 0).otherwise(F.col("a_cnt"))
+    )
+    rows = drift_report_partitioned(
+        zero.withColumnRenamed("v", "amount"),
+        "part",
+        {"amount": snap["amount"]},
+        weight="a_cnt",
+    ).collect()
+    assert {r["partition_id"] for r in rows} == {"p1"}  # p2 all-NULL, p0 zeroed
+
+
+def test_snapshot_single_pass_equals_per_column_histograms(spark):
+    """The one-agg snapshot must reproduce the per-column histogram()
+    aggregates exactly (zero bins absent, NULLs excluded, same grids)."""
+    from ndap_data_validator_spark.operators.drift import histogram
+
+    sdf = spark.createDataFrame(_pdf())
+    snap = snapshot(sdf, ["amount", "latency"], n_bins=16)
+    for c in ("amount", "latency"):
+        s = snap[c]
+        rows = histogram(sdf, c, s["lo"], s["hi"], 16).collect()
+        assert s["counts"] == {
+            int(r["bin_id"]): int(r["bin_count"]) for r in rows
+        }
+    # all-NULL column: degenerate grid, empty histogram
+    import pyspark.sql.functions as F
+
+    allnull = sdf.withColumn("amount", F.lit(None).cast("double"))
+    s = snapshot(allnull, ["amount"], n_bins=16)["amount"]
+    assert s["counts"] == {} and s["hi"] > s["lo"]
