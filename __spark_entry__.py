@@ -505,7 +505,7 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four back-to-back driver round-trips of pure fixed cost at sf0.1).
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=3)
     cat_future = pool.submit(
         lambda: categorical_drift(
             o, "o_orderpriority", F.year("o_orderdate") <= 1997
@@ -550,10 +550,17 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 weight="b_cnt",
             ).collect()
         )
-        ks_exact = ks_exact_from_counts(counts).first()["ks"]
+        # the exact KS reads the same (already materialized) cache as the
+        # priority leg — run the two jobs concurrently; with the
+        # categorical job still in flight the entry's post-histogram tail
+        # is max(exact KS, priority leg, categorical), not their sum
+        ks_future = pool.submit(
+            lambda: ks_exact_from_counts(counts).first()["ks"]
+        )
         part_rows = sorted(
             part_future.result(), key=lambda p: p["partition_id"]
         )
+        ks_exact = ks_future.result()
         # categorical drift (NEW r05) on the same split, over the
         # categorical column: per-category two-sample counts → smoothed PSI
         # + two-sample chi-square, all Catalyst arithmetic on the
