@@ -712,3 +712,125 @@ class DriftRule:
             "psi": float(self.psi_threshold),
             "severity": self.severity,
         }
+
+
+def _drift_fold_exprs(base: dict, h) -> dict:
+    """KS / PSI / JS / W1 Columns over a histogram ARRAY column ``h``
+    (length n_bins+2, element i = bin i's count, bin 0 underflow), the
+    baseline's per-bin fraction / CDF / gap entering as LITERALS — a pure
+    projection with the identical math as :func:`compare` /
+    :func:`drift_report_partitioned`. Because it is stateless, it can run
+    directly on the output row of a (streaming) aggregation — no second
+    aggregation, which Structured Streaming's append mode would reject."""
+    import functools
+    import operator as op
+
+    eps = 1e-6
+    n_bins = base["n_bins"]
+    p = _vectorize(base["counts"], n_bins)
+    tp = sum(p)
+    if tp == 0:
+        raise ValueError("baseline histogram is empty")
+    w = (base["hi"] - base["lo"]) / n_bins
+    gaps = [w / 2.0] + [w] * (n_bins - 1) + [w / 2.0] + [0.0]
+    tq = F.aggregate(
+        h, F.lit(0).cast("long"), lambda a, x: a + x
+    ).cast("double")
+    ks_terms, psi_terms, js_terms, w1_terms = [], [], [], []
+    cp = 0.0
+    cq = None
+    for i, pi in enumerate(p):
+        fp = pi / tp
+        cp += fp
+        fq = F.element_at(h, i + 1).cast("double") / tq
+        cq = fq if cq is None else (cq + fq)
+        sp = max(fp, eps)  # baseline side of the smoothing is a constant
+        sq = F.greatest(fq, F.lit(eps))
+        gap = F.abs(F.lit(cp) - cq)
+        ks_terms.append(gap)
+        psi_terms.append((sq - F.lit(sp)) * F.log(sq / F.lit(sp)))
+        m = (F.lit(fp) + fq) / F.lit(2.0)
+        t1 = (
+            F.lit(0.5) * F.lit(fp) * F.log(F.lit(fp) / m)
+            if fp > 0  # baseline-side guard is compile-time
+            else F.lit(0.0)
+        )
+        t2 = F.when(fq > 0, F.lit(0.5) * fq * F.log(fq / m)).otherwise(0.0)
+        js_terms.append(t1 + t2)
+        w1_terms.append(gap * F.lit(gaps[i]))
+    total = lambda terms: functools.reduce(op.add, terms)  # noqa: E731
+    return {
+        "ks": F.greatest(*ks_terms),
+        "psi": total(psi_terms),
+        "js": total(js_terms),
+        "w1": total(w1_terms),
+        "baseline_total": F.lit(int(tp)).cast("long"),
+        "current_total": tq.cast("long"),
+    }
+
+
+def drift_windowed(
+    df: DataFrame,
+    ts_col: str,
+    column: str,
+    baseline: dict[str, dict],
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """Per event-time tumbling-window drift vs a baseline snapshot — the
+    AT-INGEST twin of :func:`drift_report_partitioned` with partition =
+    time window, and the streaming member of the engine's batch/stream
+    twin family (sessionization, dedup, sequence checks, CHECKs, Bloom).
+
+    The plan is ONE stateful aggregation: each window's full histogram is
+    an ``array(count_if(bucket = i))`` over the baseline grid (state =
+    n_bins+2 longs per open window; the watermark finalizes and evicts).
+    The KS/PSI/JS/W1 fold then runs as a stateless PROJECTION with the
+    baseline as literals (:func:`_drift_fold_exprs`) — there is no second
+    aggregation, so Structured Streaming append mode accepts the plan and
+    every finalized window emits exactly one verdict row.
+
+    Works identically on a BATCH frame (the watermark only applies to
+    streams): same windows, same metrics — the stream≡batch fold is
+    tested in tests/test_streaming.py."""
+    base = baseline[column]
+    n_bins = base["n_bins"]
+    b = F.width_bucket(
+        F.col(column).cast("double"),
+        F.lit(float(base["lo"])),
+        F.lit(float(base["hi"])),
+        F.lit(n_bins),
+    )
+    src = df
+    if df.isStreaming and watermark_delay:
+        src = df.withWatermark(ts_col, watermark_delay)
+    hist = (
+        src.where(F.col(column).isNotNull())
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
+        .agg(
+            F.array(
+                *[
+                    F.count(F.when(b == i, F.lit(1)))
+                    for i in range(n_bins + 2)
+                ]
+            ).alias("h")
+        )
+    )
+    m = _drift_fold_exprs(base, F.col("h"))
+    return hist.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.lit(column).alias("column"),
+        m["ks"].alias("ks"),
+        m["psi"].alias("psi"),
+        m["js"].alias("js"),
+        m["w1"].alias("w1"),
+        m["baseline_total"].alias("baseline_total"),
+        m["current_total"].alias("current_total"),
+        (
+            (m["ks"] > F.lit(float(ks_threshold)))
+            | (m["psi"] > F.lit(float(psi_threshold)))
+        ).alias("drifted"),
+    )

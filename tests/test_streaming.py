@@ -606,3 +606,94 @@ def test_sequence_check_stream_fuzz_equals_batch(spark, tmp_path, seed):
         for r in spark.sql(f"SELECT * FROM fuzzviol{seed}").collect()
     }
     assert got == batch
+
+
+def test_drift_windowed_stream_equals_batch(spark, tmp_path):
+    """Per-window drift at ingest: the streaming run must emit the SAME
+    windows with the SAME KS/PSI/JS/W1 as (a) the identical call on the
+    batch frame and (b) the interactive drift_check() on each window's
+    slice — three-way fold. The fixture plants one in-distribution window
+    and one hard-shifted window, so the drifted verdict splits."""
+    import math
+
+    from ndap_data_validator_spark.operators.drift import (
+        drift_check,
+        drift_windowed,
+        snapshot,
+    )
+
+    src = str(tmp_path / "dwsrc")
+    # baseline: value cycles 0..49; window 1 mirrors it, window 2 is
+    # shifted way past the grid (overflow-bucket drift)
+    rows = []
+    for i in range(200):
+        rows.append((i, float(i % 50), f"2026-01-01 00:{i % 10:02d}:15"))
+    for i in range(200):
+        rows.append(
+            (1000 + i, 500.0 + (i % 10), f"2026-01-01 01:{i % 10:02d}:15")
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, amount double, ts string"
+    ).select("event_id", "amount", F.col("ts").cast("timestamp").alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    base = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], "amount double"
+    )
+    snap = snapshot(base, ["amount"], n_bins=16)
+
+    batch = {
+        str(r["window_start"]): r
+        for r in drift_windowed(
+            df, "ts", "amount", snap, window_duration="1 hour"
+        ).collect()
+    }
+    assert len(batch) == 2
+
+    stream = spark.readStream.schema(
+        "event_id long, amount double, ts timestamp"
+    ).parquet(src)
+    q = (
+        drift_windowed(
+            stream, "ts", "amount", snap, window_duration="1 hour",
+            watermark_delay="1 minute",
+        )
+        .writeStream.format("memory")
+        .queryName("drift_win")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dwckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["window_start"]): r
+        for r in spark.sql("SELECT * FROM drift_win").collect()
+    }
+    # append mode emits only watermark-finalized windows; every emitted
+    # window must equal the batch row bit-for-bit (same plan, same input)
+    assert got
+    for k, s in got.items():
+        b = batch[k]
+        for f in ("ks", "psi", "js", "w1"):
+            assert s[f] == b[f], (k, f)
+        assert s["drifted"] == b["drifted"]
+        assert s["current_total"] == b["current_total"]
+
+    # three-way: each batch window row equals drift_check() on its slice
+    for k, b in batch.items():
+        lo, hi = b["window_start"], b["window_end"]
+        (exp,) = drift_check(
+            df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))),
+            snap,
+        )
+        assert math.isclose(b["ks"], exp.ks, abs_tol=1e-9), k
+        assert math.isclose(b["psi"], exp.psi, abs_tol=1e-9), k
+        assert math.isclose(b["js"], exp.js, abs_tol=1e-9), k
+        assert math.isclose(b["w1"], exp.w1, abs_tol=1e-9), k
+        assert b["drifted"] == exp.drifted()
+    # the mirrored window passes, the shifted one drifts
+    verdicts = sorted(
+        (str(r["window_start"]), r["drifted"]) for r in batch.values()
+    )
+    assert [v for _, v in verdicts] == [False, True]
