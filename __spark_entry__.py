@@ -3545,7 +3545,7 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT 'expect' AS method, name, metric, ROUND(value, 6) AS value,
              lo, hi,
-             (value IS NOT NULL
+             (value IS NOT NULL AND NOT isnan(value)
               AND (lo IS NULL OR value >= lo)
               AND (hi IS NULL OR value <= hi)) AS passed
       FROM e

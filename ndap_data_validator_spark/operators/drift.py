@@ -700,6 +700,20 @@ class DriftRule:
     def __post_init__(self) -> None:
         if self.severity not in ("error", "warn"):
             raise ValueError("DriftRule severity must be 'error' or 'warn'")
+        # Reject an all-empty baseline HERE, not mid-run: snapshot() over an
+        # empty/all-NULL frame yields counts={} for every column, which
+        # drift_report_partitioned skips — construction is the right place
+        # to fail, before the rule enters a run digest.
+        usable = [
+            c
+            for c, b in self.baseline.items()
+            if sum(_vectorize(b["counts"], b["n_bins"])) > 0
+        ]
+        if not usable:
+            raise ValueError(
+                "DriftRule baseline has no usable columns (every histogram "
+                "is empty) — re-snapshot over a non-empty frame"
+            )
 
     def digest_payload(self) -> dict:
         import hashlib

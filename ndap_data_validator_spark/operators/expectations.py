@@ -214,7 +214,11 @@ def metric_expectations(
     agg = df.groupBy(part_expr).agg(*aggs)
 
     def _passed(r: MetricRule, v: Column) -> Column:
-        ok = v.isNotNull()
+        # NaN must FAIL regardless of bound direction: Spark orders NaN
+        # above every double, so without this guard a NaN metric (e.g.
+        # avg over a NaN-poisoned column) passes any min_bound-only rule
+        # while failing the same rule written as a max_bound.
+        ok = v.isNotNull() & ~F.isnan(v)
         if r.min_bound is not None:
             ok = ok & (v >= F.lit(float(r.min_bound)))
         if r.max_bound is not None:

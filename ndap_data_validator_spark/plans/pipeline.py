@@ -519,6 +519,15 @@ def run_validation(
         ):
             store.record_watermark(watermark_col, fold["wm"])
 
+    # Both tiny persisted summaries have fed their last action by here —
+    # release the cached blocks so a long-lived driver looping
+    # run_validation once per batch doesn't accumulate dead per-run caches
+    # in executor storage memory.
+    if exp_summary is not None:
+        exp_summary.unpersist()
+    if drift_summary is not None:
+        drift_summary.unpersist()
+
     # passed_all folds over every partition recorded for this run — the
     # resumed half plus previously-done ones (main.py:926-936 semantics).
     log = (

@@ -354,8 +354,15 @@ def suggest_metric_rules(
                 )
             )
         if p.get("domain"):
+            # escape for Spark's default string-literal grammar: backslash
+            # is an escape character (a domain value like 'C:\temp' would
+            # otherwise compile to a TAB, and a trailing '\' swallows the
+            # closing quote → ParseException on every batch)
             quoted = ", ".join(
-                "'" + str(v).replace("'", "''") + "'" for v in p["domain"]
+                "'"
+                + str(v).replace("\\", "\\\\").replace("'", "''")
+                + "'"
+                for v in p["domain"]
             )
             rules.append(
                 MetricRule(

@@ -335,3 +335,48 @@ def test_snapshot_single_pass_equals_per_column_histograms(spark):
     allnull = sdf.withColumn("amount", F.lit(None).cast("double"))
     s = snapshot(allnull, ["amount"], n_bins=16)["amount"]
     assert s["counts"] == {} and s["hi"] > s["lo"]
+
+
+def test_drift_rule_rejects_all_empty_baseline(spark):
+    """snapshot() over an all-NULL frame yields counts={} for every
+    column — drift_report_partitioned would silently skip them all, so
+    DriftRule must refuse at construction, before the rule enters a run
+    digest."""
+    base = spark.createDataFrame(
+        pd.DataFrame({"amount": [None, None, None]}), "amount double"
+    )
+    snap = snapshot(base, ["amount"], n_bins=8)
+    with pytest.raises(ValueError, match="no usable columns"):
+        DriftRule(snap)
+    # one usable column among empties is fine — partial baselines are the
+    # normal case for sparse columns
+    mixed = dict(snap)
+    mixed.update(_baseline(spark))
+    DriftRule(mixed)
+
+
+def test_run_validation_releases_summary_caches(spark, tmp_path):
+    """The tiny expectation/drift summaries are persisted for the
+    multi-action fold; run_validation must unpersist them before
+    returning, or a long-lived driver looping one run per batch
+    accumulates dead per-run caches in executor storage memory."""
+    from ndap_data_validator_spark.operators.expectations import MetricRule
+    from ndap_data_validator_spark.plans.pipeline import run_validation
+    from ndap_data_validator_spark.rules.model import ColumnAssignment
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    run_validation(
+        spark,
+        spark.createDataFrame(_pdf()),
+        [
+            ColumnAssignment("conv_id", "Location"),
+            ColumnAssignment("fy", "Time"),
+            ColumnAssignment("latency", "Measures", "float"),
+        ],
+        partition_by="part",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        metric_rules=[MetricRule("rows", "row_count", min_bound=1)],
+        drift_rule=DriftRule(_baseline(spark), severity="warn"),
+    )
+    assert jsc.getPersistentRDDs().size() == before

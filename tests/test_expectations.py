@@ -409,3 +409,64 @@ def test_suite_from_json_rejects_corrupt_suites():
     # unknown keys (schema drift in the file itself) fail fast too
     with pytest.raises(TypeError):
         suite_from_json('[{"name": "x", "metric": "row_count", "min_bound": 1, "extra": 2}]')
+
+
+def test_nan_metric_value_fails_any_bound(spark):
+    """A NaN metric must FAIL regardless of bound direction: Spark orders
+    NaN above every double, so without the explicit isnan guard a NaN
+    mean satisfies `value >= min_bound` while failing the same rule
+    written as a max_bound."""
+    pdf = pd.DataFrame({"x": [float("nan"), float("nan"), float("nan")]})
+    rules = [
+        MetricRule("min_only", "mean", column="x", min_bound=0),
+        MetricRule("max_only", "mean", column="x", max_bound=100),
+        MetricRule("stddev_min", "stddev", column="x", min_bound=-1),
+    ]
+    rep = {
+        r["rule"]: r
+        for r in metric_expectations(spark.createDataFrame(pdf), rules).collect()
+    }
+    for name in ("min_only", "max_only", "stddev_min"):
+        assert rep[name]["passed"] is False, name
+    # the summary counts them as failures, not passes
+    summ = expectations_summary(
+        metric_expectations(spark.createDataFrame(pdf), rules)
+    ).collect()[0]
+    assert summ["failed_count"] == 3 and summ["passed"] is False
+
+
+def test_suggest_domain_rule_backslash_survives_spark_grammar(spark):
+    """Domain values containing backslashes must be escaped for Spark's
+    string-literal grammar: 'C:\\temp' used to compile to a TAB inside the
+    IN-list, and a trailing backslash swallowed the closing quote
+    (ParseException on every batch)."""
+    from ndap_data_validator_spark.rules.inference import suggest_metric_rules
+
+    prof = [
+        {
+            "column": "path",
+            "dtype": "string",
+            "n": 10,
+            "nulls": 0,
+            "null_frac": 0.0,
+            "n_distinct_approx": 2,
+            "min": None,
+            "max": None,
+            "mean": None,
+            "stddev": None,
+            "regex_fracs": {},
+            "domain": ["C:\\temp", "D:\\"],
+        }
+    ]
+    dom = next(
+        r
+        for r in suggest_metric_rules(prof, severity="error")
+        if r.name == "path__domain"
+    )
+    pdf = pd.DataFrame({"path": ["C:\\temp", "D:\\", "C:\\temp", "E:\\other"]})
+    rep = metric_expectations(
+        spark.createDataFrame(pdf), [dom], approx_distinct=False
+    ).collect()[0]
+    # 3 of 4 rows in the domain — the literal round-trips exactly, and the
+    # out-of-domain row is not accidentally matched by a mangled literal
+    assert rep["value"] == pytest.approx(0.75)
