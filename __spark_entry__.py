@@ -1390,15 +1390,31 @@ def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U-family extension (SURVEY §2.8 note): exceptAll for violation
-    diffing — event types present in the first half of the data but
-    missing (per occurrence) from the second half."""
+    """Snapshot-diffing, BOTH granularities in one method-tagged entry
+    (consolidated r05):
+
+    * 'except' — U-family extension (SURVEY §2.8 note): exceptAll for
+      violation diffing — event types present in the first half of the
+      data but missing (per occurrence) from the second half;
+    * 'reconcile' — operators/reconcile.py keyed cell-level diff
+      (datacompy-style): orders vs a deterministically perturbed second
+      snapshot (every 29th key dropped, every 13th totalprice bumped,
+      every 17th priority case-flipped, every 41st key re-inserted under
+      a negative id) → the long-form summary (row statuses + per-column
+      mismatch counts) from ONE full-outer sort-merge join.
+
+    Columns aligned as (method, dim, detail, value); except rows carry
+    dim=event_type / detail=bucket, reconcile rows dim=metric /
+    detail=column."""
     e = _t(spark, sf_dir, "events")
     # split point = exact median via the DISTRIBUTED order-statistic plan
     # (stats.py:118) — NOT single-group percentile(), whose aggregation
     # buffer accumulates every event_id in one task (the anti-pattern
     # exact_percentiles eliminated; an OOM-shaped stage at 100×). The
     # .first() here collects ONE precomputed row, not data.
+    from ndap_data_validator_spark.operators.reconcile import (
+        reconcile_summary,
+    )
     from ndap_data_validator_spark.operators.stats import (
         exact_percentiles_distributed,
     )
@@ -1406,9 +1422,52 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = exact_percentiles_distributed(e, "event_id", (0.5,)).first()["p50"]
     a = e.where(F.col("event_id") <= half).select("event_type", (F.col("user_id") % 5).alias("bucket"))
     b = e.where(F.col("event_id") > half).select("event_type", (F.col("user_id") % 5).alias("bucket"))
-    return a.exceptAll(b).groupBy("event_type", "bucket").agg(
-        F.count(F.lit(1)).alias("excess")
+    except_leg = (
+        a.exceptAll(b)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("excess"))
+        .select(
+            F.lit("except").alias("method"),
+            F.col("event_type").alias("dim"),
+            F.col("bucket").cast("string").alias("detail"),
+            F.col("excess").alias("value"),
+        )
     )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    perturbed = (
+        o.where(F.col("o_orderkey") % 29 != 3)
+        .select(
+            "o_orderkey",
+            (
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 13 == 0, F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("o_totalprice"),
+            F.when(
+                F.col("o_orderkey") % 17 == 0, F.lower("o_orderpriority")
+            )
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 41 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    reconcile_leg = reconcile_summary(o, perturbed, "o_orderkey").select(
+        F.lit("reconcile").alias("method"),
+        F.col("metric").alias("dim"),
+        F.col("column").alias("detail"),
+        "value",
+    )
+    return except_leg.unionByName(reconcile_leg)
 
 
 # ---- multi-stage / composed-pipeline queries (every entry below, like
@@ -4050,9 +4109,50 @@ def oracle_sql() -> dict[str, str]:
         "except_diff": """
           WITH h AS (SELECT quantile_cont(event_id, 0.5) AS m FROM events),
           a AS (SELECT event_type, user_id % 5 AS bucket FROM events, h WHERE event_id <= h.m),
-          b AS (SELECT event_type, user_id % 5 AS bucket FROM events, h WHERE event_id > h.m)
-          SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS excess
+          b AS (SELECT event_type, user_id % 5 AS bucket FROM events, h WHERE event_id > h.m),
+          o AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+          p AS (
+            SELECT o_orderkey,
+                   o_totalprice + CASE WHEN o_orderkey % 13 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice,
+                   CASE WHEN o_orderkey % 17 = 0 THEN lower(o_orderpriority) ELSE o_orderpriority END AS o_orderpriority
+            FROM o WHERE o_orderkey % 29 != 3
+            UNION ALL
+            SELECT -o_orderkey, o_totalprice, o_orderpriority FROM o WHERE o_orderkey % 41 = 0
+          ),
+          j AS (
+            SELECT o.o_orderkey AS lid, p.o_orderkey AS rid,
+                   (o.o_totalprice IS NOT DISTINCT FROM p.o_totalprice) AS tp_eq,
+                   (o.o_orderpriority IS NOT DISTINCT FROM p.o_orderpriority) AS pr_eq
+            FROM o FULL OUTER JOIN p ON o.o_orderkey = p.o_orderkey
+          ),
+          rec AS (
+            SELECT
+              count(*) FILTER (lid IS NOT NULL) AS rows_left,
+              count(*) FILTER (rid IS NOT NULL) AS rows_right,
+              count(*) FILTER (lid IS NOT NULL AND rid IS NOT NULL) AS keys_matched,
+              count(*) FILTER (lid IS NOT NULL AND rid IS NOT NULL AND tp_eq AND pr_eq) AS rows_equal,
+              count(*) FILTER (lid IS NOT NULL AND rid IS NOT NULL AND NOT (tp_eq AND pr_eq)) AS rows_differing,
+              count(*) FILTER (lid IS NULL) AS missing_left,
+              count(*) FILTER (rid IS NULL) AS missing_right,
+              count(*) FILTER (lid IS NOT NULL AND rid IS NOT NULL AND NOT tp_eq) AS mm_totalprice,
+              count(*) FILTER (lid IS NOT NULL AND rid IS NOT NULL AND NOT pr_eq) AS mm_priority
+            FROM j
+          )
+          SELECT 'except' AS method, event_type AS dim,
+                 CAST(bucket AS VARCHAR) AS detail, CAST(COUNT(*) AS BIGINT) AS value
           FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
           GROUP BY event_type, bucket
+          UNION ALL
+          SELECT 'reconcile', u.metric, u.col, u.v FROM rec, LATERAL (VALUES
+            ('rows_left', CAST(NULL AS VARCHAR), rows_left),
+            ('rows_right', NULL, rows_right),
+            ('keys_matched', NULL, keys_matched),
+            ('rows_equal', NULL, rows_equal),
+            ('rows_differing', NULL, rows_differing),
+            ('missing_left', NULL, missing_left),
+            ('missing_right', NULL, missing_right),
+            ('column_mismatch', 'o_totalprice', mm_totalprice),
+            ('column_mismatch', 'o_orderpriority', mm_priority)
+          ) AS u(metric, col, v)
         """,
     }
