@@ -247,19 +247,48 @@ def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXPECTED_ROLES = ["click", "error", "purchase", "signup", "view", "refund"]
+
+
 def q_partition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition summaries ≙ the reference's per-file report rows
-    (main.py:913-920), partitioned by the role column."""
+    """Per-partition verdicts, BOTH directions in one method-tagged entry
+    (consolidated r05):
+
+    * 'validate' — per-partition summaries ≙ the reference's per-file
+      report rows (main.py:913-920), partitioned by the role column;
+      detail carries the failed column list;
+    * 'completeness' — operators/completeness.py census of the SAME
+      partition key against an expected manifest (the domain plus a
+      never-arriving 'refund' → one guaranteed 'missing' row; min_rows
+      200 so small scale factors also exercise 'undersized'); detail
+      carries the status, passed = (status == 'ok'). The gate row-level
+      validation cannot express: rows that never arrived."""
+    from ndap_data_validator_spark.operators.completeness import (
+        partition_completeness,
+    )
+
     res = ValidationEngine().validate(
         _derived(spark, sf_dir), _DERIVED_ASSIGNMENTS, partition_by="role"
     )
-    return res.summary.select(
+    validate_leg = res.summary.select(
+        F.lit("validate").alias("method"),
         "partition_id",
         F.col("rows").alias("n_rows"),
         "failed_count",
         "passed",
-        F.concat_ws(",", "failed_columns").alias("failed_columns"),
+        F.concat_ws(",", "failed_columns").alias("detail"),
     )
+    comp_leg = partition_completeness(
+        _derived(spark, sf_dir), "role", _EXPECTED_ROLES, min_rows=200
+    ).select(
+        F.lit("completeness").alias("method"),
+        F.col("key").alias("partition_id"),
+        "n_rows",
+        F.lit(None).cast("long").alias("failed_count"),
+        (F.col("status") == "ok").alias("passed"),
+        F.col("status").alias("detail"),
+    )
+    return validate_leg.unionByName(comp_leg)
 
 
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +407,19 @@ def _stats_expectation_rules():
             min_bound=1.0,
         ),
         MetricRule("qty_max_strict", "max", column="l_quantity", max_bound=10),
+        # freshness vs the pinned reference instant _STATS_NOW (r05): lag
+        # of max(l_shipdate) in seconds — the "did the latest data land?"
+        # gate; bound generous because the TPC-H-ish dates are decades old
+        MetricRule(
+            "shipdate_fresh", "freshness", column="l_shipdate",
+            min_bound=0, max_bound=2e9,
+        ),
     ]
+
+
+# explicit reference instant for the freshness rule — evaluation input,
+# pinned so both engines (and every re-run) measure the same lag
+_STATS_NOW = "2026-01-01T00:00:00"
 
 
 def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,7 +480,7 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("passed"),
     )
     expect_leg = metric_expectations(
-        li, _stats_expectation_rules(), approx_distinct=False
+        li, _stats_expectation_rules(), approx_distinct=False, now=_STATS_NOW
     ).select(
         F.lit("expect").alias("method"),
         F.col("rule").alias("name"),
@@ -3412,7 +3453,8 @@ def oracle_sql() -> dict[str, str]:
           SUM(CASE WHEN {int_err} THEN 1 ELSE 0 END) AS int_errs,
           SUM(CASE WHEN {float_err} THEN 1 ELSE 0 END) AS float_errs
         FROM d GROUP BY role)
-      SELECT b.p AS partition_id, CAST(b.n_rows AS BIGINT) AS n_rows,
+      SELECT 'validate' AS method, b.p AS partition_id,
+        CAST(b.n_rows AS BIGINT) AS n_rows,
         CAST((CASE WHEN b.conv_nulls > 0 THEN 1 ELSE 0 END)
            + (CASE WHEN t.nulls > 0 OR t.invalid > 0 OR (t.invalid = 0 AND t.n_formats > 1) THEN 1 ELSE 0 END)
            + (CASE WHEN b.int_errs > 0 THEN 1 ELSE 0 END)
@@ -3423,8 +3465,21 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN b.conv_nulls > 0 THEN 'conv_id' END,
           CASE WHEN t.nulls > 0 OR t.invalid > 0 OR (t.invalid = 0 AND t.n_formats > 1) THEN 'year_str' END,
           CASE WHEN b.int_errs > 0 THEN 'int_m' END,
-          CASE WHEN b.float_errs > 0 THEN 'float_m' END) AS failed_columns
+          CASE WHEN b.float_errs > 0 THEN 'float_m' END) AS detail
       FROM base b JOIN tagg t ON b.p = t.p
+      UNION ALL
+      SELECT 'completeness', COALESCE(e.key, c.key),
+        CAST(COALESCE(c.n, 0) AS BIGINT),
+        CAST(NULL AS BIGINT),
+        (e.key IS NOT NULL AND COALESCE(c.n, 0) >= 200) AS passed,
+        CASE WHEN e.key IS NULL THEN 'unexpected'
+             WHEN COALESCE(c.n, 0) = 0 THEN 'missing'
+             WHEN c.n < 200 THEN 'undersized'
+             ELSE 'ok' END
+      FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+                   ('view'), ('refund')) e(key)
+      FULL OUTER JOIN (SELECT role AS key, COUNT(*) AS n FROM d GROUP BY role) c
+        ON e.key = c.key
     """
 
     latest_event = """
@@ -3578,7 +3633,8 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT l_orderkey)::DOUBLE / COUNT(*) AS ratio_v,
                AVG(CASE WHEN COALESCE(l_extendedprice > 0 AND l_quantity > 0,
                                       FALSE) THEN 1.0 ELSE 0.0 END) AS comp_v,
-               MAX(l_quantity)::DOUBLE AS qmax_v
+               MAX(l_quantity)::DOUBLE AS qmax_v,
+               epoch(TIMESTAMP '2026-01-01 00:00:00') - epoch(MAX(l_shipdate)) AS fresh_v
         FROM lineitem
       ),
       e(name, metric, value, lo, hi) AS (
@@ -3596,6 +3652,8 @@ def oracle_sql() -> dict[str, str]:
                          CAST(NULL AS DOUBLE) FROM m
         UNION ALL SELECT 'qty_max_strict', 'max', qmax_v,
                          CAST(NULL AS DOUBLE), 10.0 FROM m
+        UNION ALL SELECT 'shipdate_fresh', 'freshness', fresh_v, 0.0,
+                         2e9 FROM m
       )
       SELECT 'stats' AS method, name, metric, value,
              CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,

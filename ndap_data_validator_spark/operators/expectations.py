@@ -34,6 +34,13 @@ Metric vocabulary (``MetricRule.metric``):
     subsumes arbitrary cross-column predicates
   * ``quantile`` — approximate ``q``-quantile of ``column``
     (percentile_approx at ``quantile_accuracy``)
+  * ``freshness`` — seconds of lag between an explicit reference instant
+    (the ``now=`` argument of :func:`metric_expectations` — an ISO-8601
+    UTC string, REQUIRED when any freshness rule is present; the clock is
+    never read implicitly, so runs replay deterministically) and
+    ``max(column)``; ``max_bound`` is the allowed staleness in seconds —
+    the standard "did yesterday's crawl actually land?" gate. Negative
+    values (data from the future) fail a ``min_bound=0`` rule.
 
 A rule passes when its metric value is non-NULL and inside the closed
 ``[min_bound, max_bound]`` interval (either bound optional, at least one
@@ -70,6 +77,7 @@ _COLUMN_METRICS = {
     "distinct",
     "distinct_ratio",
     "quantile",
+    "freshness",
 }
 _METRICS = _COLUMN_METRICS | {"row_count", "compliance"}
 
@@ -136,12 +144,40 @@ def suite_from_json(text: str) -> list[MetricRule]:
     return [MetricRule(**d) for d in data]
 
 
+def _now_epoch(now: str) -> float:
+    """Parse the explicit reference instant (ISO-8601, naive = UTC) to
+    epoch seconds. Driver-side once per suite — the value enters the plan
+    as a literal, so freshness stays a pure aggregate expression."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(now)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
 def _value_expr(
-    rule: MetricRule, approx_distinct: bool, quantile_accuracy: int
+    rule: MetricRule,
+    approx_distinct: bool,
+    quantile_accuracy: int,
+    now: str | None = None,
 ) -> Column:
     """The aggregate expression producing this rule's metric value
     (double)."""
     m = rule.metric
+    if m == "freshness":
+        if now is None:
+            raise ValueError(
+                f"rule {rule.name!r} is a freshness rule: pass now=... "
+                "(ISO-8601 UTC) to metric_expectations — the clock is "
+                "never read implicitly"
+            )
+        # timestamp → double keeps sub-second precision (ntz casts via
+        # timestamp under the engine's pinned UTC session zone), matching
+        # DuckDB's epoch() for the oracle.
+        return F.lit(_now_epoch(now)) - F.max(
+            F.col(rule.column).cast("timestamp").cast("double")
+        )
     if m == "row_count":
         return F.count(F.lit(1)).cast("double")
     if m == "compliance":
@@ -190,6 +226,7 @@ def metric_expectations(
     partition_by: str | Column | None = None,
     approx_distinct: bool = True,
     quantile_accuracy: int = 10_000,
+    now: str | None = None,
 ) -> DataFrame:
     """Evaluate every rule in ONE shared aggregate. Returns the long-form
     report ``(partition_id, rule, metric, column, value, min_bound,
@@ -208,7 +245,9 @@ def metric_expectations(
     ).cast("string").alias("partition_id")
 
     aggs = [
-        _value_expr(r, approx_distinct, quantile_accuracy).alias(f"r{i}__v")
+        _value_expr(r, approx_distinct, quantile_accuracy, now).alias(
+            f"r{i}__v"
+        )
         for i, r in enumerate(rules)
     ]
     agg = df.groupBy(part_expr).agg(*aggs)

@@ -78,6 +78,7 @@ def run_validation(
     check_rules: list | None = None,
     max_violations_per_rule: int | None = None,
     metric_rules: list | None = None,
+    metric_now: str | None = None,
     drift_rule=None,
 ) -> RunOutcome:
     """Checkpointed validation run.
@@ -139,6 +140,10 @@ def run_validation(
     only); the failed rule names ride ``metrics_json`` for the cross-run
     anomaly history; and the rules enter the run digest, so changing them
     invalidates 'done' partitions exactly like every other rule family.
+    ``metric_now`` (ISO-8601 UTC string) is the explicit reference instant
+    any ``freshness`` rule measures lag against — required with one, the
+    scheduler's batch timestamp in production; it is an EVALUATION input
+    like the data itself, so it does not enter the run digest.
 
     ``drift_rule`` (optional ``operators.drift.DriftRule``) runs the
     KS/PSI distribution-drift check against the rule's baseline snapshot
@@ -215,7 +220,9 @@ def run_validation(
             metric_expectations,
         )
 
-        exp_report = metric_expectations(remaining, metric_rules, partition_by=key)
+        exp_report = metric_expectations(
+            remaining, metric_rules, partition_by=key, now=metric_now
+        )
         exp_summary = (
             expectations_summary(exp_report)
             .select(

@@ -470,3 +470,93 @@ def test_suggest_domain_rule_backslash_survives_spark_grammar(spark):
     # 3 of 4 rows in the domain — the literal round-trips exactly, and the
     # out-of-domain row is not accidentally matched by a mangled literal
     assert rep["value"] == pytest.approx(0.75)
+
+
+# ---------------------------------------------------------------- freshness
+
+
+def test_freshness_lag_and_verdicts(spark):
+    pdf = pd.DataFrame(
+        {
+            "part": ["a", "a", "b"],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 00:00:00",
+                    "2026-01-01 11:59:30",
+                    "2025-12-31 00:00:00",
+                ]
+            ),
+        }
+    )
+    rules = [
+        MetricRule("fresh_12h", "freshness", column="ts", max_bound=43_200),
+        MetricRule(
+            "fresh_1h",
+            "freshness",
+            column="ts",
+            min_bound=0,
+            max_bound=3_600,
+            severity="warn",
+        ),
+    ]
+    rep = metric_expectations(
+        spark.createDataFrame(pdf),
+        rules,
+        partition_by="part",
+        now="2026-01-01T12:00:00",
+    ).collect()
+    got = {(r["partition_id"], r["rule"]): (r["value"], r["passed"]) for r in rep}
+    # partition a: max ts 11:59:30 → 30s lag; passes both
+    assert got[("a", "fresh_12h")] == (30.0, True)
+    assert got[("a", "fresh_1h")] == (30.0, True)
+    # partition b: max ts a day+12h old → 129600s; fails both bounds
+    assert got[("b", "fresh_12h")] == (129_600.0, False)
+    assert got[("b", "fresh_1h")] == (129_600.0, False)
+
+
+def test_freshness_future_data_fails_min_bound(spark):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["2026-01-02 00:00:00"])})
+    rep = metric_expectations(
+        spark.createDataFrame(pdf),
+        [MetricRule("no_future", "freshness", column="ts", min_bound=0)],
+        now="2026-01-01T00:00:00",
+    ).collect()[0]
+    assert rep["value"] == -86_400.0
+    assert rep["passed"] is False
+
+
+def test_freshness_matches_duckdb_epoch(spark):
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2026-03-01 04:05:06.250", "2026-03-02 10:20:30.500"])}
+    )
+    rep = metric_expectations(
+        spark.createDataFrame(pdf),
+        [MetricRule("f", "freshness", column="ts", max_bound=1e12)],
+        now="2026-03-05T00:00:00",
+    ).collect()[0]
+    exp = duckdb.sql(
+        "SELECT epoch(TIMESTAMP '2026-03-05 00:00:00') - epoch(max(ts)) "
+        "FROM pdf"
+    ).fetchone()[0]
+    # sub-second precision survives both engines (epoch as double)
+    assert rep["value"] == pytest.approx(exp, abs=0)
+    assert rep["value"] == pytest.approx(221_969.5)
+
+
+def test_freshness_requires_explicit_now(spark):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["2026-01-01"])})
+    with pytest.raises(ValueError, match="clock is never read implicitly"):
+        metric_expectations(
+            spark.createDataFrame(pdf),
+            [MetricRule("f", "freshness", column="ts", max_bound=60)],
+        ).collect()
+
+
+def test_freshness_suite_json_roundtrip():
+    from ndap_data_validator_spark.operators.expectations import (
+        suite_from_json,
+        suite_to_json,
+    )
+
+    rules = [MetricRule("f", "freshness", column="ts", max_bound=3600.0)]
+    assert suite_from_json(suite_to_json(rules)) == rules

@@ -1097,5 +1097,87 @@ print(f"pipeline drift rule: conv-0000 drifted (ks={ks_hot:.3f}), withheld "
       f"from publish ({len(pub_parts2)} published); snapshot JSON "
       f"round-trip stable")
 
+
+# ---- r05 late: reconciliation, freshness, completeness --------------------
+from ndap_data_validator_spark.operators.completeness import (
+    partition_completeness,
+)
+from ndap_data_validator_spark.operators.expectations import (
+    MetricRule,
+    metric_expectations,
+)
+from ndap_data_validator_spark.operators.reconcile import reconcile_summary
+
+# reconcile: transcripts vs a perturbed re-ingest of themselves — drop one
+# conversation, damage one text cell; the diff must localize exactly
+# NULL join keys never match (SQL), and the != filter below would drop
+# the injected null-conv rows from one side only — exclude them upfront
+base_r = (
+    df.where(F.col("conv_id").isNotNull())
+    .dropDuplicates(["conv_id", "turn_idx"])
+    .select("conv_id", "turn_idx", "role", "text")
+)
+perturbed_r = base_r.where(F.col("conv_id") != "conv-000007").withColumn(
+    "text",
+    F.when(
+        (F.col("conv_id") == "conv-000011") & (F.col("turn_idx") == 3),
+        F.lit("CORRUPTED"),
+    ).otherwise(F.col("text")),
+)
+rec = {
+    (r["metric"], r["column"]): r["value"]
+    for r in reconcile_summary(
+        base_r, perturbed_r, ["conv_id", "turn_idx"]
+    ).collect()
+}
+n_dropped = base_r.where(F.col("conv_id") == "conv-000007").count()
+assert rec[("missing_right", None)] == n_dropped, rec
+assert rec[("missing_left", None)] == 0
+assert rec[("rows_differing", None)] == 1
+assert rec[("column_mismatch", "text")] == 1
+assert rec[("column_mismatch", "role")] == 0
+assert rec[("rows_equal", None)] == rec[("rows_left", None)] - n_dropped - 1
+print(
+    f"reconcile: dropped conv ({n_dropped} rows) + 1 damaged cell "
+    "localized exactly; per-row text equality holds everywhere else"
+)
+
+# freshness: lag vs an explicit now; stale bound must flip the verdict
+fr = metric_expectations(
+    df.where(F.col("ts").isNotNull()),
+    [
+        MetricRule("fresh_loose", "freshness", column="ts", max_bound=1e10),
+        MetricRule("fresh_tight", "freshness", column="ts", max_bound=1.0),
+    ],
+    now="2030-01-01T00:00:00",
+).collect()
+fr_by = {r["rule"]: r for r in fr}
+assert fr_by["fresh_loose"]["passed"] is True
+assert fr_by["fresh_tight"]["passed"] is False
+assert fr_by["fresh_loose"]["value"] == fr_by["fresh_tight"]["value"] > 0
+print(f"freshness: lag {fr_by['fresh_loose']['value']:.0f}s vs pinned now; "
+      "tight bound flips verdict")
+
+# completeness: expected-partition census over the conv-id prefix key
+obs_keys = [r["p"] for r in df.select(
+    F.substring("conv_id", 1, 9).alias("p")).where(
+    F.col("conv_id").isNotNull()).distinct().collect()]
+expected = sorted(obs_keys) + ["conv-9999"]
+comp = {
+    r["key"]: r["status"]
+    for r in partition_completeness(
+        df.where(F.col("conv_id").isNotNull()).withColumn(
+            "p", F.substring("conv_id", 1, 9)
+        ),
+        "p",
+        expected,
+        min_rows=10,
+    ).collect()
+}
+assert comp["conv-9999"] == "missing"
+assert all(v == "ok" for k, v in comp.items() if k != "conv-9999"), comp
+print(f"completeness: {len(obs_keys)} expected partitions ok, planted "
+      "conv-9999 reported missing")
+
 print("JOB OK")
 spark.stop()
