@@ -49,6 +49,9 @@ class RunOutcome:
     # per-(partition, column) drift report vs the DriftRule baseline when
     # drift_rule was given; None otherwise
     drift: DataFrame | None = None
+    # expected-partition census (one row per expected-or-observed key)
+    # when expected_partitions was given; None otherwise
+    completeness: DataFrame | None = None
 
 
 def partition_key(partition_by: str | Column) -> Column:
@@ -80,6 +83,8 @@ def run_validation(
     metric_rules: list | None = None,
     metric_now: str | None = None,
     drift_rule=None,
+    expected_partitions: list | None = None,
+    expected_min_rows: int = 1,
 ) -> RunOutcome:
     """Checkpointed validation run.
 
@@ -144,6 +149,16 @@ def run_validation(
     any ``freshness`` rule measures lag against — required with one, the
     scheduler's batch timestamp in production; it is an EVALUATION input
     like the data itself, so it does not enter the run digest.
+
+    ``expected_partitions`` (optional manifest of partition keys, with
+    ``expected_min_rows`` as the volume floor) runs the
+    ``operators.completeness.partition_completeness`` census over the FULL
+    batch slice: the report lands at ``{report_path}/completeness`` and a
+    ``missing`` / ``undersized`` expected partition fails ``passed_all`` —
+    the one failure mode no row-level or dataset-level rule can see,
+    because the rows never arrived. Like ``metric_now`` it is an
+    evaluation input (the manifest changes every scheduled batch), so it
+    stays out of the run digest.
 
     ``drift_rule`` (optional ``operators.drift.DriftRule``) runs the
     KS/PSI distribution-drift check against the rule's baseline snapshot
@@ -231,6 +246,30 @@ def run_validation(
                 F.col("warned_rules").alias("exp_warned_rules"),
                 F.col("passed").alias("exp_passed"),
             )
+            .persist()
+        )
+
+    # Expected-partition completeness census (operators/completeness.py)
+    # over the FULL batch slice, NOT the resume remainder — whether a
+    # partition arrived is a property of the table, and a resumed run must
+    # not re-report completed partitions as missing. One extra shared scan
+    # (map-side-combined groupBy on the key) only when the manifest is
+    # given; the census frame is |manifest|-sized and persisted because it
+    # feeds two actions (report write + run-verdict fold).
+    comp_report = None
+    if expected_partitions:
+        from ndap_data_validator_spark.operators.completeness import (
+            partition_completeness,
+        )
+
+        comp_report = (
+            partition_completeness(
+                df.withColumn("__part_id", key),
+                "__part_id",
+                expected_partitions,
+                min_rows=expected_min_rows,
+            )
+            .withColumnRenamed("key", "partition_id")
             .persist()
         )
 
@@ -356,6 +395,10 @@ def run_validation(
             # dataset-level expectation verdicts: one row per (partition,
             # rule) with value/bounds/passed, same overwrite contract
             _write_partitioned(exp_report, f"{report_path}/metric_expectations")
+        if comp_report is not None:
+            # expected-partition census: one row per expected-or-observed
+            # key, same idempotent per-partition overwrite contract
+            _write_partitioned(comp_report, f"{report_path}/completeness")
         if drift_rep is not None:
             # per-(partition, column) KS/PSI/JS/W1 vs the baseline grid,
             # same overwrite contract
@@ -550,6 +593,21 @@ def run_validation(
     ).first()
     passed_all = bool(fold["n"] > 0 and fold["all_passed"])
 
+    if comp_report is not None:
+        # a partition that never arrived (or arrived under-sized) fails the
+        # RUN verdict even though no row-level rule could see it — there is
+        # nothing to withhold from publish, so the verdict is the only
+        # lever. 'unexpected' keys are reported but don't fail here: their
+        # rows went through validation like any other partition's.
+        incomplete = (
+            comp_report.where(
+                F.col("status").isin("missing", "undersized")
+            ).count()
+            > 0
+        )
+        passed_all = passed_all and not incomplete
+        comp_report.unpersist()
+
     # keep the store's file count O(1) across 10^4 runs (each run appends
     # ~2 small files); single-writer at end-of-run, so the non-atomic swap
     # window documented on compact() cannot race a concurrent committer
@@ -565,6 +623,7 @@ def run_validation(
         result=result,
         expectations=exp_report,
         drift=drift_rep,
+        completeness=comp_report,
     )
 
 

@@ -561,3 +561,109 @@ def test_sequence_and_check_rules_in_digest(spark, tdf, tmp_path):
         report_path=str(tmp_path / "rep"), order_by=["conv_id", "turn_idx"],
     )
     assert out3.skipped_partitions == []
+
+
+def _clean_tdf(tdf):
+    # injected null conv_ids would fail no rule here, but dropping them
+    # keeps the observed-manifest fold exact; fy/turn_idx satisfy the
+    # catalog's mandatory Time+Measures roles so the base run PASSES and
+    # the completeness verdict is isolated
+    return tdf.where(F.col("conv_id").isNotNull()).withColumn(
+        "fy", F.lit("2024")
+    )
+
+
+def _complete_assigns():
+    return [
+        ColumnAssignment("fy", "Time"),
+        ColumnAssignment("turn_idx", "Measures", "integer"),
+    ]
+
+
+def _read_census(spark, path):
+    # the partition column round-trips through directory names, so its
+    # read-back type is inferred — normalize to string for the compare
+    return {
+        r["partition_id"]: r["status"]
+        for r in spark.read.parquet(path)
+        .select(F.col("partition_id").cast("string"), "status")
+        .collect()
+    }
+
+
+def test_expected_partitions_gate(spark, tdf, tmp_path):
+    """A missing expected partition fails passed_all, writes the census
+    report, and the same manifest without the ghost passes — no row-level
+    rule ever sees the failure (the rows never arrived)."""
+    tdf = _clean_tdf(tdf)
+    observed = sorted(
+        r[0] for r in tdf.select(partition_key(PART())).distinct().collect()
+    )
+
+    out_ok = run_validation(
+        spark, tdf, _complete_assigns(), PART(),
+        checkpoint_path=str(tmp_path / "c1"),
+        report_path=str(tmp_path / "r1"),
+        expected_partitions=observed,
+    )
+    assert out_ok.passed_all is True
+    census = _read_census(spark, str(tmp_path / "r1" / "completeness"))
+    assert set(census.values()) == {"ok"}
+
+    out_missing = run_validation(
+        spark, tdf, _complete_assigns(), PART(),
+        checkpoint_path=str(tmp_path / "c2"),
+        report_path=str(tmp_path / "r2"),
+        expected_partitions=observed + ["ghost"],
+    )
+    assert out_missing.passed_all is False
+    census2 = _read_census(spark, str(tmp_path / "r2" / "completeness"))
+    assert census2["ghost"] == "missing"
+    assert all(v == "ok" for k, v in census2.items() if k != "ghost")
+
+
+def test_expected_partitions_census_covers_resumed_slice(spark, tdf, tmp_path):
+    """On resume the census still sees completed partitions (it runs over
+    the full batch slice, not the remainder) — a done partition must not
+    flip to 'missing'."""
+    ckpt = str(tmp_path / "ckpt")
+    run_id = new_run_id()
+    engine = ValidationEngine()
+    assigns = _complete_assigns()
+    digest = assignment_digest(assigns, engine.catalog, engine.schema_name)
+    tdf = _clean_tdf(tdf)
+    observed = sorted(
+        r[0] for r in tdf.select(partition_key(PART())).distinct().collect()
+    )
+    store = CheckpointStore(spark, ckpt)
+    store.mark_done(
+        run_id, observed[0], digest,
+        {"rows": 1, "failed_count": 0, "passed": True},
+    )
+
+    out = run_validation(
+        spark, tdf, assigns, PART(),
+        checkpoint_path=ckpt, run_id=run_id,
+        report_path=str(tmp_path / "rep"),
+        expected_partitions=observed,
+    )
+    assert out.skipped_partitions == [observed[0]]
+    census = _read_census(spark, str(tmp_path / "rep" / "completeness"))
+    assert census[observed[0]] == "ok"
+    assert out.passed_all is True
+
+
+def test_expected_min_rows_undersized_fails_run(spark, tdf, tmp_path):
+    tdf = _clean_tdf(tdf)
+    observed = sorted(
+        r[0] for r in tdf.select(partition_key(PART())).distinct().collect()
+    )
+    out = run_validation(
+        spark, tdf, _complete_assigns(), PART(),
+        checkpoint_path=str(tmp_path / "c"),
+        expected_partitions=observed,
+        expected_min_rows=10**9,
+    )
+    assert out.passed_all is False
+    statuses = {r["status"] for r in out.completeness.collect()}
+    assert statuses == {"undersized"}

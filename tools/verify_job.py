@@ -1179,5 +1179,31 @@ assert all(v == "ok" for k, v in comp.items() if k != "conv-9999"), comp
 print(f"completeness: {len(obs_keys)} expected partitions ok, planted "
       "conv-9999 reported missing")
 
+# ...and through the checkpointed run: the ghost partition fails the RUN
+# verdict (nothing to withhold — the rows never arrived) and the census
+# report lands next to the other report sinks
+comp_base = tempfile.mkdtemp(prefix="verify_comp_")
+comp_out = run_validation(
+    spark,
+    df.where(F.col("conv_id").isNotNull()).withColumn("fy", F.lit("2024")),
+    [
+        ColumnAssignment("fy", "Time"),
+        ColumnAssignment("turn_idx", "Measures", "integer"),
+    ],
+    part_expr,
+    checkpoint_path=os.path.join(comp_base, "ckpt"),
+    report_path=os.path.join(comp_base, "report"),
+    expected_partitions=obs_keys + ["conv-9999"],
+)
+assert comp_out.passed_all is False
+census_rows = spark.read.parquet(
+    os.path.join(comp_base, "report/completeness")
+).select(F.col("partition_id").cast("string"), "status").collect()
+census = {r["partition_id"]: r["status"] for r in census_rows}
+assert census["conv-9999"] == "missing"
+assert sum(1 for v in census.values() if v == "ok") == len(obs_keys)
+print("pipeline completeness: ghost partition fails the run verdict; "
+      f"census report written ({len(census)} keys)")
+
 print("JOB OK")
 spark.stop()
