@@ -264,6 +264,9 @@ def suggest_metric_rules(
     domain_slack: float = 0.001,
     key_ratio_trigger: float = 0.95,
     severity: str = "warn",
+    now: str | None = None,
+    freshness_slack: float = 2.0,
+    freshness_floor: float = 3600.0,
 ) -> list:
     """Deequ-style constraint suggestion: derive dataset-level
     ``MetricRule``s (operators/expectations.py) from a ``profile_columns``
@@ -286,7 +289,12 @@ def suggest_metric_rules(
         ``col IS NULL OR col IN (domain)`` ≥ 1 − domain_slack (nullability
         stays the null rule's job);
       * key-like columns (approx distinct ratio ≥ key_ratio_trigger):
-        ``distinct_ratio`` ≥ key_ratio_trigger − 0.05 (HLL headroom).
+        ``distinct_ratio`` ≥ key_ratio_trigger − 0.05 (HLL headroom);
+      * datetime columns, when ``now`` (ISO-8601 UTC — the instant the
+        baseline was profiled) is given: ``freshness`` ≤ max(observed lag
+        × freshness_slack, freshness_floor) — the batch-cadence alarm; the
+        matching evaluation passes its own ``now=`` to
+        ``metric_expectations``, so the bound is the only thing baked in.
 
     Returns plain MetricRules — feed to ``metric_expectations`` or
     ``run_validation(metric_rules=…)``; rule names are
@@ -381,6 +389,26 @@ def suggest_metric_rules(
                     "distinct_ratio",
                     column=c,
                     min_bound=max(0.0, key_ratio_trigger - 0.05),
+                    severity=severity,
+                )
+            )
+        if now is not None and p.get("dtype") == "datetime" and p.get("max") is not None:
+            from ndap_data_validator_spark.operators.expectations import (
+                _now_epoch,
+            )
+
+            mx = p["max"]
+            if mx.tzinfo is None:
+                from datetime import timezone
+
+                mx = mx.replace(tzinfo=timezone.utc)
+            lag = _now_epoch(now) - mx.timestamp()
+            rules.append(
+                MetricRule(
+                    f"{c}__freshness",
+                    "freshness",
+                    column=c,
+                    max_bound=max(lag * freshness_slack, freshness_floor),
                     severity=severity,
                 )
             )

@@ -560,3 +560,40 @@ def test_freshness_suite_json_roundtrip():
 
     rules = [MetricRule("f", "freshness", column="ts", max_bound=3600.0)]
     assert suite_from_json(suite_to_json(rules)) == rules
+
+
+def test_suggest_freshness_rule_from_profile(spark):
+    """A datetime column + explicit profile-time now yields a freshness
+    draft whose bound is slack × observed lag (floored); without now, no
+    clock is read and no freshness rule appears."""
+    from ndap_data_validator_spark.rules.inference import (
+        profile_columns,
+        suggest_metric_rules,
+    )
+
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2026-01-01 00:00:00", "2026-01-03 00:00:00"])}
+    )
+    prof = profile_columns(spark.createDataFrame(pdf))
+
+    no_now = suggest_metric_rules(prof)
+    assert not [r for r in no_now if r.metric == "freshness"]
+
+    # observed lag at profile time = 2 days = 172800s; slack 2× → 345600
+    rules = suggest_metric_rules(prof, now="2026-01-05T00:00:00")
+    fr = next(r for r in rules if r.metric == "freshness")
+    assert fr.name == "ts__freshness"
+    assert fr.column == "ts"
+    assert fr.max_bound == pytest.approx(345_600.0)
+    assert fr.severity == "warn"
+
+    # the floor guards a just-landed baseline (lag ~0) from a 0-second bound
+    tight = suggest_metric_rules(prof, now="2026-01-03T00:00:10")
+    fr2 = next(r for r in tight if r.metric == "freshness")
+    assert fr2.max_bound == 3600.0
+
+    # the drafted rule evaluates green against the baseline itself
+    rep = metric_expectations(
+        spark.createDataFrame(pdf), [fr], now="2026-01-05T00:00:00"
+    ).collect()[0]
+    assert rep["passed"] is True and rep["value"] == pytest.approx(172_800.0)
