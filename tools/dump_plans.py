@@ -536,6 +536,44 @@ def main() -> None:
             "second pass, no driver collect; adding rules adds agg "
             "expressions, never stages.",
         ),
+        (
+            "Keyed snapshot reconciliation (one full-outer join)",
+            (lambda rec: rec.reconcile_summary(
+                df.select("conv_id", "turn_idx", "role", "text"),
+                df.select("conv_id", "turn_idx", "role", "text")
+                .where(F.col("turn_idx") % 97 != 3),
+                ["conv_id", "turn_idx"],
+            ))(
+                __import__(
+                    "ndap_data_validator_spark.operators.reconcile",
+                    fromlist=["r"],
+                )
+            ),
+            "Each side shuffles exactly ONCE into a full-outer sort-merge "
+            "join on the key (AQE skew-splits a hot key); every per-column "
+            "verdict is a null-safe <=> expression in the join's "
+            "projection, and the summary is one map-side-combined "
+            "HashAggregate over it. No cartesian, no nested-loop, no "
+            "second pass; only compared columns travel.",
+        ),
+        (
+            "Expected-partition completeness census",
+            (lambda comp: comp.partition_completeness(
+                df.withColumn("p", F.substring("conv_id", 1, 9)),
+                "p",
+                [f"conv-{i:04d}" for i in range(30)],
+            ))(
+                __import__(
+                    "ndap_data_validator_spark.operators.completeness",
+                    fromlist=["c"],
+                )
+            ),
+            "The corpus shrinks to |distinct keys| in one map-side-combined "
+            "groupBy; the expected manifest enters as a JVM Range+Generate "
+            "literal (never a Python-RDD frame) and joins the counts at "
+            "metadata size — AQE picks the join; statuses are projection "
+            "CASEs. Output is O(|expected| + |unexpected|).",
+        ),
     ]
 
     out = [
