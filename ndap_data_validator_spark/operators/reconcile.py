@@ -53,11 +53,26 @@ def _resolve_cols(
         cols = [c for c in left.columns if c not in keys and c in rset]
     if not cols:
         raise ValueError("no comparable columns (nothing to reconcile)")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate compare columns: {cols}")
     for c in cols:
         if c in keys:
             raise ValueError(f"compare column {c!r} is a key")
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"compare column {c!r} missing from a side")
+    # the join projection aliases compared columns as l__X / r__X plus the
+    # presence markers — a real column with one of those names would
+    # silently collide with its own alias
+    reserved = {f"l__{c}" for c in cols} | {f"r__{c}" for c in cols} | {
+        "l__present",
+        "r__present",
+    }
+    clash = reserved & set(keys) | reserved & set(cols)
+    if clash:
+        raise ValueError(
+            f"column names collide with reconcile's internal aliases: "
+            f"{sorted(clash)} — rename them first"
+        )
     return cols
 
 

@@ -197,3 +197,12 @@ def test_plan_is_one_sortmerge_join_no_cartesian(sides):
     plan = reconcile_summary(left, right, "id")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reserved_alias_names_rejected(spark):
+    left = spark.createDataFrame([(1, "x", "y")], "id int, l__present string, v string")
+    right = spark.createDataFrame([(1, "x", "y")], "id int, l__present string, v string")
+    with pytest.raises(ValueError, match="internal aliases"):
+        reconcile_rows(left, right, "id")
+    with pytest.raises(ValueError, match="duplicate compare columns"):
+        reconcile_rows(left.drop("l__present"), right.drop("l__present"), "id", ["v", "v"])
