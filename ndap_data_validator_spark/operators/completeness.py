@@ -28,7 +28,7 @@ __all__ = ["partition_completeness"]
 def partition_completeness(
     df: DataFrame,
     key: str,
-    expected_keys: list,
+    expected_keys: list | DataFrame,
     min_rows: int = 1,
 ) -> DataFrame:
     """Census of ``df``'s partitions (distinct ``key`` values) against the
@@ -47,20 +47,41 @@ def partition_completeness(
     here so int/date keys work unchanged). ``min_rows`` is the cheap
     volume floor — pair with ``MetricRule("row_count", ...)`` bounds when
     the expectation is per-partition-tight rather than a global floor.
+
+    ``expected_keys`` may also be a one-column DataFrame — the form a
+    manifest that is itself a table (a calendar dimension, a shard map,
+    yesterday's observed keys) arrives in, and the scale path when the
+    manifest outgrows a driver list. It is deduplicated here (list
+    manifests fail fast on duplicates instead: a hand-written duplicate
+    is a bug worth surfacing).
     """
-    if not expected_keys:
-        raise ValueError("expected_keys is empty — nothing to check")
     if min_rows < 1:
         raise ValueError("min_rows must be >= 1")
-    lits = [F.lit(k).cast("string") for k in expected_keys]
-    if len(set(str(k) for k in expected_keys)) != len(expected_keys):
-        raise ValueError("expected_keys contains duplicates")
-
-    spark = df.sparkSession
-    expected = spark.range(1).select(
-        F.explode(F.array(*lits)).alias("key"),
-        F.lit(True).alias("expected"),
-    )
+    if isinstance(expected_keys, DataFrame):
+        if len(expected_keys.columns) != 1:
+            raise ValueError(
+                "a DataFrame manifest must have exactly one column, got "
+                f"{expected_keys.columns}"
+            )
+        expected = (
+            expected_keys.select(
+                F.col(expected_keys.columns[0]).cast("string").alias("key")
+            )
+            .where(F.col("key").isNotNull())
+            .distinct()
+            .withColumn("expected", F.lit(True))
+        )
+    else:
+        if not expected_keys:
+            raise ValueError("expected_keys is empty — nothing to check")
+        if len(set(str(k) for k in expected_keys)) != len(expected_keys):
+            raise ValueError("expected_keys contains duplicates")
+        lits = [F.lit(k).cast("string") for k in expected_keys]
+        spark = df.sparkSession
+        expected = spark.range(1).select(
+            F.explode(F.array(*lits)).alias("key"),
+            F.lit(True).alias("expected"),
+        )
     counts = (
         df.select(F.col(key).cast("string").alias("key"))
         .groupBy("key")

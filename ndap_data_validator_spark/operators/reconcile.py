@@ -81,6 +81,7 @@ def reconcile_rows(
     right: DataFrame,
     keys: str | list[str],
     compare_cols: list[str] | None = None,
+    float_tol: float = 0.0,
 ) -> DataFrame:
     """Row-level reconciliation verdicts.
 
@@ -97,9 +98,22 @@ def reconcile_rows(
     ``equal``, NULL for the missing statuses — there is nothing to
     compare). Plan: one full-outer sort-merge join, verdicts as
     projection expressions.
+
+    ``float_tol`` (absolute) relaxes the compare on float/double columns:
+    two non-NULL values within the tolerance count as equal — a re-ingest
+    through a different engine legitimately perturbs the last ulps, and a
+    migration check that flags every 1e-15 is noise. 0.0 (default) keeps
+    the compare exact; NULL-vs-NULL is always equal, NULL-vs-value never.
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
     cols = _resolve_cols(left, right, key_list, compare_cols)
+    if float_tol < 0:
+        raise ValueError("float_tol must be >= 0")
+    float_cols = {
+        f.name
+        for f in left.schema.fields
+        if f.dataType.typeName() in ("float", "double")
+    }
 
     lp = left.select(
         *key_list,
@@ -117,15 +131,19 @@ def reconcile_rows(
     # are constant TRUE per side, NULL only when the join found no row.
     on_left = F.col("l__present").isNotNull()
     on_right = F.col("r__present").isNotNull()
+    def _cell_equal(c: str):
+        l, r = F.col(f"l__{c}"), F.col(f"r__{c}")
+        eq = l.eqNullSafe(r)
+        if float_tol > 0 and c in float_cols:
+            eq = eq | (
+                l.isNotNull()
+                & r.isNotNull()
+                & (F.abs(l - r) <= F.lit(float(float_tol)))
+            )
+        return eq
+
     diff_arr = F.array_compact(
-        F.array(
-            *[
-                F.when(
-                    ~F.col(f"l__{c}").eqNullSafe(F.col(f"r__{c}")), F.lit(c)
-                )
-                for c in cols
-            ]
-        )
+        F.array(*[F.when(~_cell_equal(c), F.lit(c)) for c in cols])
     )
     status = (
         F.when(~on_left, F.lit("missing_left"))
@@ -145,6 +163,7 @@ def reconcile_summary(
     right: DataFrame,
     keys: str | list[str],
     compare_cols: list[str] | None = None,
+    float_tol: float = 0.0,
 ) -> DataFrame:
     """Long-form reconciliation report: ``(metric, column, value)``.
 
@@ -157,7 +176,7 @@ def reconcile_summary(
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
     cols = _resolve_cols(left, right, key_list, compare_cols)
-    rows = reconcile_rows(left, right, key_list, cols)
+    rows = reconcile_rows(left, right, key_list, cols, float_tol=float_tol)
 
     s = F.col("status")
     aggs = [

@@ -81,3 +81,28 @@ def test_plan_shape(days):
     assert "BroadcastNestedLoopJoin" not in plan
     # the manifest enters as a JVM range+explode (never a Python-RDD scan)
     assert "Range (0, 1" in plan
+
+
+def test_dataframe_manifest(spark, days):
+    manifest = spark.createDataFrame(
+        [("d1",), ("d2",), ("d3",), ("d3",), (None,)], "day string"
+    )
+    out = {
+        r["key"]: r["status"]
+        for r in partition_completeness(
+            days, "day", manifest.select("day"), min_rows=2
+        ).collect()
+    }
+    # identical verdicts to the list manifest; dups and NULLs in the
+    # manifest table are cleaned, not fatal
+    assert out == {
+        "d1": "ok",
+        "d2": "undersized",
+        "d3": "missing",
+        "d4": "unexpected",
+    }
+
+
+def test_dataframe_manifest_must_be_one_column(spark, days):
+    with pytest.raises(ValueError, match="exactly one column"):
+        partition_completeness(days, "day", days.select("day", "day"))

@@ -206,3 +206,41 @@ def test_reserved_alias_names_rejected(spark):
         reconcile_rows(left, right, "id")
     with pytest.raises(ValueError, match="duplicate compare columns"):
         reconcile_rows(left.drop("l__present"), right.drop("l__present"), "id", ["v", "v"])
+
+
+def test_float_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, None), (4, 10.0)], "id int, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0 + 1e-13), (2, 10.5), (3, 0.0), (4, None)],
+        "id int, v double",
+    )
+    strict = {
+        r["id"]: r["status"] for r in reconcile_rows(left, right, "id").collect()
+    }
+    assert strict == {1: "differing", 2: "differing", 3: "differing", 4: "differing"}
+
+    tol = {
+        r["id"]: r["status"]
+        for r in reconcile_rows(left, right, "id", float_tol=1e-9).collect()
+    }
+    # within-tol float equal; NULL-vs-value never rescued by the tolerance
+    assert tol == {1: "equal", 2: "differing", 3: "differing", 4: "differing"}
+
+    got = {
+        (r["metric"], r["column"]): r["value"]
+        for r in reconcile_summary(left, right, "id", float_tol=1e-9).collect()
+    }
+    assert got[("rows_equal", None)] == 1
+    assert got[("column_mismatch", "v")] == 3
+
+    with pytest.raises(ValueError, match=">= 0"):
+        reconcile_rows(left, right, "id", float_tol=-1)
+
+
+def test_float_tolerance_does_not_touch_strings(spark):
+    left = spark.createDataFrame([(1, "10.0")], "id int, s string")
+    right = spark.createDataFrame([(1, "10.0000000001")], "id int, s string")
+    out = reconcile_rows(left, right, "id", float_tol=1.0).collect()[0]
+    assert out["status"] == "differing"
