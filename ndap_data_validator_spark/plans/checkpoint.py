@@ -225,6 +225,33 @@ class CheckpointStore:
         inspection (``plans.anomaly.metrics_anomalies``)."""
         return self._read()
 
+    def observed_partitions(self, last_n_runs: int = 1) -> DataFrame:
+        """Distinct partition ids marked 'done' in the most recent
+        ``last_n_runs`` runs (by latest commit time) — the natural
+        expected-partition manifest for the NEXT batch:
+        ``run_validation(expected_partitions=store.observed_partitions())``
+        closes the "every partition that landed yesterday must land today"
+        loop with no hand-kept calendar. Returns a one-column DataFrame
+        (the ``operators.completeness.partition_completeness`` manifest
+        form); all plans are over the metadata-sized checkpoint table —
+        top-N runs via a |runs|-row TakeOrderedAndProject, then one
+        semi-join."""
+        if last_n_runs < 1:
+            raise ValueError("last_n_runs must be >= 1")
+        log = self._read().where(F.col("status") == "done")
+        recent = (
+            log.groupBy("run_id")
+            .agg(F.max("committed_at").alias("__t"))
+            .orderBy(F.col("__t").desc(), F.col("run_id"))
+            .limit(last_n_runs)
+            .select("run_id")
+        )
+        return (
+            log.join(recent, "run_id", "left_semi")
+            .select("partition_id")
+            .distinct()
+        )
+
     # ------------------------------------------------------------- compaction
 
     def compact(self) -> int:

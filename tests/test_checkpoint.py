@@ -667,3 +667,47 @@ def test_expected_min_rows_undersized_fails_run(spark, tdf, tmp_path):
     assert out.passed_all is False
     statuses = {r["status"] for r in out.completeness.collect()}
     assert statuses == {"undersized"}
+
+
+def test_observed_partitions_manifest_closes_the_loop(spark, tdf, tmp_path):
+    """store.observed_partitions() (yesterday's done keys) feeds the next
+    batch's expected_partitions — a partition that validated yesterday but
+    never arrives today is reported missing and fails the run."""
+    ckpt = str(tmp_path / "ckpt")
+    store = CheckpointStore(spark, ckpt)
+    engine = ValidationEngine()
+    assigns = _complete_assigns()
+    digest = assignment_digest(assigns, engine.catalog, engine.schema_name)
+
+    # run 1 (older): partitions a, b     run 2 (latest): a, b, c
+    store.mark_done("RUN-OLD", "a", digest, {"rows": 1, "passed": True})
+    store.mark_done("RUN-OLD", "b", digest, {"rows": 1, "passed": True})
+    store.mark_done("RUN-NEW", "a", digest, {"rows": 1, "passed": True})
+    store.mark_done("RUN-NEW", "b", digest, {"rows": 1, "passed": True})
+    store.mark_done("RUN-NEW", "c", digest, {"rows": 1, "passed": True})
+
+    latest = {
+        r["partition_id"] for r in store.observed_partitions(1).collect()
+    }
+    assert latest == {"a", "b", "c"}
+    both = {
+        r["partition_id"] for r in store.observed_partitions(2).collect()
+    }
+    assert both == {"a", "b", "c"}
+    with pytest.raises(ValueError, match=">= 1"):
+        store.observed_partitions(0)
+
+    # today's batch only carries partitions a and b → c must be missing
+    tdf2 = _clean_tdf(tdf).withColumn(
+        "p", F.when(F.col("turn_idx") % 2 == 0, "a").otherwise("b")
+    )
+    out = run_validation(
+        spark, tdf2, assigns, "p",
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        report_path=str(tmp_path / "rep"),
+        expected_partitions=store.observed_partitions(1),
+    )
+    assert out.passed_all is False
+    census = _read_census(spark, str(tmp_path / "rep" / "completeness"))
+    assert census["c"] == "missing"
+    assert census["a"] == "ok" and census["b"] == "ok"
