@@ -11,11 +11,19 @@ Usage: python tools/quiet_campaign.py [pairs] [gate] [max_wait_min]
 
 from __future__ import annotations
 
+import os
 import statistics
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+# the campaign's job size MUST be pinned before bench is imported (bench
+# reads BENCH_TURNS at module import): the r5b and r5h campaigns both ran
+# at the 4M bench default because the launcher forgot this, and 4M legs
+# are fixed-overhead-dominated (local[32] measures SLOWER than local[8])
+# — worthless as scaling evidence. 128M turns ≈ 25s warm on local[32].
+os.environ.setdefault("BENCH_TURNS", "128000000")
 
 import bench
 
