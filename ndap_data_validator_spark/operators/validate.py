@@ -81,6 +81,18 @@ class ValidationResult:
     violations: DataFrame  # (partition_id, <order cols…>, column, reason, value)
     coerced: DataFrame  # source frame with role-coerced values
     missing_roles: list[str] = field(default_factory=list)
+    # the persisted per-partition aggregate that per_column_report and
+    # summary share (None when cache_aggregates=False). Callers that loop
+    # validate() in a long-lived driver must release() it once the report
+    # frames have fed their last action, or each batch strands one cached
+    # plan in executor storage memory. Actions taken after release()
+    # simply recompute the (tiny) aggregate.
+    cached_aggregate: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the shared aggregate cache (no-op if uncached)."""
+        if self.cached_aggregate is not None:
+            self.cached_aggregate.unpersist()
 
 
 @dataclass
@@ -408,6 +420,7 @@ class ValidationEngine:
             violations=violations,
             coerced=coerced,
             missing_roles=missing_roles,
+            cached_aggregate=wide if cache_aggregates else None,
         )
 
     def _violations(

@@ -577,6 +577,11 @@ def run_validation(
         exp_summary.unpersist()
     if drift_summary is not None:
         drift_summary.unpersist()
+    # ... and the validator's shared per-partition aggregate, which the
+    # report writes / metrics collect / verdict fold above materialized.
+    # RunOutcome.result stays usable — later actions recompute the tiny
+    # aggregate instead of reading a stranded cache.
+    result.release()
 
     # passed_all folds over every partition recorded for this run — the
     # resumed half plus previously-done ones (main.py:926-936 semantics).
