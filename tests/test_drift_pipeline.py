@@ -356,14 +356,22 @@ def test_drift_rule_rejects_all_empty_baseline(spark):
 
 
 def test_run_validation_releases_summary_caches(spark, tmp_path):
-    """The tiny expectation/drift summaries are persisted for the
-    multi-action fold; run_validation must unpersist them before
-    returning, or a long-lived driver looping one run per batch
-    accumulates dead per-run caches in executor storage memory."""
+    """The tiny expectation/drift summaries AND the validator's shared
+    per-partition aggregate are persisted for the multi-action fold;
+    run_validation must unpersist all of them before returning, or a
+    long-lived driver looping one run per batch accumulates dead per-run
+    caches in executor storage memory."""
     from ndap_data_validator_spark.operators.expectations import MetricRule
     from ndap_data_validator_spark.plans.pipeline import run_validation
     from ndap_data_validator_spark.rules.model import ColumnAssignment
 
+    # drop DataFrame caches stranded by earlier tests in this shared
+    # session: CacheManager dedups identical logical plans, so a leak here
+    # could otherwise hide behind an earlier test's identical cached frame
+    # (before == after because THIS run reused that entry instead of
+    # registering its own). localCheckpoint RDDs from other tests may
+    # still be registered — hence before/after, not ==0.
+    spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
     run_validation(
