@@ -423,6 +423,68 @@ class ValidationEngine:
             cached_aggregate=wide if cache_aggregates else None,
         )
 
+    def _row_checks(self, s: _Slot) -> list[tuple[Column, str]]:
+        """Every (fires-on-violation predicate, reason string) pair for one
+        column slot — the single source of row-level rule semantics, shared
+        by the violations report and :meth:`flag_rows`."""
+        checks: list[tuple[Column, str]] = []
+        if s.rule.not_null:
+            checks.append((s.coercion.value_expr.isNull(), REASON_NO_NULLS))
+        if s.rule.numeric_only:
+            checks.append((s.coercion.error_pred, REASON_NON_NUMERIC))
+        if s.coercion.label_expr is not None:
+            checks.append((s.coercion.error_pred, REASON_INVALID_TIME))
+        rp = self._range_pred(s)
+        if rp is not None:
+            checks.append((rp, REASON_OUT_OF_RANGE))
+        xp = self._regex_pred(s)
+        if xp is not None:
+            checks.append((xp, REASON_REGEX_MISMATCH))
+        dp = self._domain_pred(s)
+        if dp is not None:
+            checks.append((dp, REASON_NOT_IN_DOMAIN))
+        return checks
+
+    def flag_rows(
+        self,
+        df: DataFrame,
+        assignments: list[ColumnAssignment],
+        check_rules: list | None = None,
+    ) -> DataFrame:
+        """Row-level verdicts over the source frame: every input column
+        plus ``row_reasons`` (array of ``"column: reason"`` strings, plus
+        ``"check: name"`` for violated :class:`~ndap_data_validator_spark.
+        rules.model.CheckRule`s — NULL check expressions pass, SQL CHECK
+        semantics) and ``row_passed``. The same compiled predicates the
+        aggregate report uses, evaluated in ONE scan-level projection — no
+        shuffle, no Python — so callers can route rows (publish the clean
+        ones, quarantine the rest) without a join against the violations
+        report. A row with no fired rule has an empty (not NULL) array.
+        """
+        slots = self._slots(df, assignments)
+        entries: list[Column] = []
+        for s in slots:
+            for pred, reason in self._row_checks(s):
+                entries.append(F.when(pred, F.lit(f"{s.col}: {reason}")))
+        for cr in check_rules or []:
+            # identical violation idiom to operators/checks.py: a row
+            # violates only when the expression is definitively FALSE
+            entries.append(
+                F.when(
+                    F.expr(cr.expression).eqNullSafe(F.lit(False)),
+                    F.lit(f"check: {cr.name}"),
+                )
+            )
+        reasons = (
+            F.filter(F.array(*entries), lambda x: x.isNotNull())
+            if entries
+            else F.array().cast("array<string>")
+        )
+        return df.select(
+            "*",
+            reasons.alias("row_reasons"),
+        ).withColumn("row_passed", F.size("row_reasons") == 0)
+
     def _violations(
         self,
         df: DataFrame,
@@ -436,23 +498,7 @@ class ValidationEngine:
         stable key so runs are byte-comparable."""
         entries: list[Column] = []
         for s in slots:
-            checks: list[tuple[Column, str]] = []
-            if s.rule.not_null:
-                checks.append((s.coercion.value_expr.isNull(), REASON_NO_NULLS))
-            if s.rule.numeric_only:
-                checks.append((s.coercion.error_pred, REASON_NON_NUMERIC))
-            if s.coercion.label_expr is not None:
-                checks.append((s.coercion.error_pred, REASON_INVALID_TIME))
-            rp = self._range_pred(s)
-            if rp is not None:
-                checks.append((rp, REASON_OUT_OF_RANGE))
-            xp = self._regex_pred(s)
-            if xp is not None:
-                checks.append((xp, REASON_REGEX_MISMATCH))
-            dp = self._domain_pred(s)
-            if dp is not None:
-                checks.append((dp, REASON_NOT_IN_DOMAIN))
-            for pred, reason in checks:
+            for pred, reason in self._row_checks(s):
                 entries.append(
                     F.when(
                         pred,

@@ -85,6 +85,8 @@ def run_validation(
     drift_rule=None,
     expected_partitions: list | None = None,
     expected_min_rows: int = 1,
+    row_policy: str = "partition",
+    quarantine_path: str | None = None,
 ) -> RunOutcome:
     """Checkpointed validation run.
 
@@ -171,7 +173,35 @@ def run_validation(
     (``"warn"`` reports only); the drifted column names ride
     ``metrics_json``; and the baseline digest + thresholds enter the run
     digest, so re-baselining invalidates 'done' partitions.
+
+    ``row_policy`` selects the publish granularity.
+      * ``"partition"`` (default) — the reference's contract: a partition
+        publishes ONLY when every rule passed; the published object is the
+        original rows, unmodified.
+      * ``"quarantine"`` — row-granular routing (the dlt-expectations /
+        dead-letter pattern): rows that pass every per-column rule and
+        CHECK rule publish even from partitions with failures, while each
+        failing row lands at ``quarantine_path`` (default
+        ``{publish_path}_quarantine``) carrying a ``row_reasons`` array
+        naming every fired rule — one extra scan-level projection
+        (``ValidationEngine.flag_rows``), no joins against the violations
+        report. Dataset-granular verdicts can't be pinned on rows, so they
+        keep partition granularity: a missing mandatory role (the rule set
+        never compiled), an error-severity expectation failure, or
+        error-severity drift still withholds the whole partition from BOTH
+        sinks — those rows are neither published nor quarantined and a
+        retry re-routes them. Sequence-rule violations report but do not
+        route (a lag() verdict depends on neighbors; quarantining the turn
+        would silently change the neighbors' verdicts on re-run).
+        ``passed_all``, reports, the checkpoint, and the delta watermark
+        are policy-independent — the policy routes output rows, it does
+        not change any verdict, so (like the report paths) it stays out of
+        the rule digest.
     """
+    if row_policy not in ("partition", "quarantine"):
+        raise ValueError("row_policy must be 'partition' or 'quarantine'")
+    if quarantine_path is not None and row_policy != "quarantine":
+        raise ValueError("quarantine_path requires row_policy='quarantine'")
     if load_mode not in LOAD_MODES:
         raise ValueError(f"load_mode must be one of {LOAD_MODES}")
     engine = ValidationEngine(catalog=catalog, schema_name=schema_name)
@@ -483,9 +513,18 @@ def run_validation(
         # partition_id (dynamic overwrite → idempotent on resume). The gate
         # is a semi-join against the (tiny, AQE-broadcast) passed-summary
         # frame — no driver-side partition list.
-        passed_parts = result.summary.where(F.col("passed")).select(
-            "partition_id"
-        )
+        if row_policy == "quarantine":
+            # row-granular routing: only CONFIG failures (missing mandatory
+            # roles — the rule set never compiled for those columns, so row
+            # verdicts would be vacuous) gate at partition granularity here;
+            # per-column data failures route row by row below
+            passed_parts = result.summary.where(
+                F.size("missing_roles") == 0
+            ).select("partition_id")
+        else:
+            passed_parts = result.summary.where(F.col("passed")).select(
+                "partition_id"
+            )
         if exp_summary is not None:
             # error-severity expectation failures withhold the partition
             # from publish exactly like column-rule failures do
@@ -505,12 +544,33 @@ def run_validation(
                 "partition_id",
                 "left_anti",
             )
-        _write_partitioned(
-            remaining.withColumn("partition_id", key).join(
-                passed_parts, "partition_id", "left_semi"
-            ),
-            publish_path,
-        )
+        if row_policy == "quarantine":
+            # one scan-level projection computes every row's verdict; the
+            # dataset-granular gate (passed_parts) then bounds BOTH sinks.
+            # Two filtered writes of the same flagged plan — each a clean
+            # scan→filter→write with no cached corpus in between.
+            flagged = engine.flag_rows(
+                remaining, assignments, check_rules=check_rules
+            ).withColumn("partition_id", key)
+            gated = flagged.join(passed_parts, "partition_id", "left_semi")
+            _write_partitioned(
+                gated.where(F.col("row_passed")).drop(
+                    "row_reasons", "row_passed"
+                ),
+                publish_path,
+            )
+            _write_partitioned(
+                gated.where(~F.col("row_passed")).drop("row_passed"),
+                quarantine_path
+                or (publish_path.rstrip("/") + "_quarantine"),
+            )
+        else:
+            _write_partitioned(
+                remaining.withColumn("partition_id", key).join(
+                    passed_parts, "partition_id", "left_semi"
+                ),
+                publish_path,
+            )
 
     if load_mode == "delta" and watermark_col is not None:
         # Advance the watermark ONLY when no partition of this batch had
