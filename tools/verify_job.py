@@ -1205,5 +1205,42 @@ assert sum(1 for v in census.values() if v == "ok") == len(obs_keys)
 print("pipeline completeness: ghost partition fails the run verdict; "
       f"census report written ({len(census)} keys)")
 
+# ---- r05 late: row-granular quarantine publish policy ----------------------
+# transcripts carry planted NULL conv_ids, so under the default policy the
+# affected partitions are withheld wholesale; under row_policy='quarantine'
+# only the offending rows divert (with reasons) and the rest publish.
+q_base = tempfile.mkdtemp(prefix="verify_quar_")
+q_df = df.withColumn("fy", F.lit("2024")).withColumn(
+    "pkey", F.coalesce(F.substring("conv_id", 1, 9), F.lit("conv-null"))
+)
+q_assigns = [
+    ColumnAssignment("conv_id", "Location"),
+    ColumnAssignment("fy", "Time"),
+    ColumnAssignment("turn_idx", "Measures", "integer"),
+]
+q_out = run_validation(
+    spark,
+    q_df,
+    q_assigns,
+    "pkey",
+    checkpoint_path=os.path.join(q_base, "ckpt"),
+    publish_path=os.path.join(q_base, "pub"),
+    row_policy="quarantine",
+)
+assert q_out.passed_all is False  # verdicts are policy-independent
+q_pub = spark.read.parquet(os.path.join(q_base, "pub"))
+q_quar = spark.read.parquet(os.path.join(q_base, "pub_quarantine"))
+n_null = q_df.where(F.col("conv_id").isNull()).count()
+assert q_quar.count() == n_null, (q_quar.count(), n_null)
+assert q_pub.count() + q_quar.count() == q_df.count()
+reasons = {
+    tuple(r["row_reasons"])
+    for r in q_quar.select("row_reasons").distinct().collect()
+}
+assert all("conv_id: No Nulls allowed" in rs for rs in reasons)
+assert "row_reasons" not in q_pub.columns and "row_passed" not in q_pub.columns
+print(f"quarantine policy: {q_quar.count()} null-conv rows diverted with "
+      f"reasons, {q_pub.count()} clean rows published (conservation holds)")
+
 print("JOB OK")
 spark.stop()
