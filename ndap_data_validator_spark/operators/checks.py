@@ -26,12 +26,21 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ndap_data_validator_spark.rules.model import CheckRule
 
-__all__ = ["check_violations", "check_summary"]
+__all__ = ["check_violation_pred", "check_violations", "check_summary"]
+
+
+def check_violation_pred(rule: CheckRule) -> Column:
+    """The single source of CHECK-violation truth: TRUE exactly when the
+    rule's expression is definitively FALSE (NULL = unknown = passes).
+    Shared by the violations report, the summary, and row routing
+    (``ValidationEngine.flag_rows``) so the three can never disagree on
+    which rows violate."""
+    return F.expr(rule.expression).eqNullSafe(F.lit(False))
 
 
 def check_violations(
@@ -50,10 +59,7 @@ def check_violations(
         raise ValueError("no check rules given")
     hits = F.array_compact(
         F.array(
-            *[
-                F.when(F.expr(r.expression).eqNullSafe(F.lit(False)), F.lit(r.name))
-                for r in rules
-            ]
+            *[F.when(check_violation_pred(r), F.lit(r.name)) for r in rules]
         )
     )
     keys = list(key_cols)
@@ -74,7 +80,7 @@ def check_summary(df: DataFrame, rules: Sequence[CheckRule]) -> DataFrame:
         raise ValueError("no check rules given")
     aggs = []
     for r in rules:
-        v = F.expr(r.expression).eqNullSafe(F.lit(False)).cast("long")
+        v = check_violation_pred(r).cast("long")
         aggs.append(F.sum(v).alias(f"__v_{r.name}"))
         aggs.append(F.count(F.lit(1)).alias(f"__n_{r.name}"))
     agg = df.agg(*aggs)

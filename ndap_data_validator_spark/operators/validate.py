@@ -460,20 +460,36 @@ class ValidationEngine:
         shuffle, no Python — so callers can route rows (publish the clean
         ones, quarantine the rest) without a join against the violations
         report. A row with no fired rule has an empty (not NULL) array.
+
+        Routing honors ``ColumnAssignment.severity``: a ``"warn"``
+        column's rules are EXCLUDED here (warn's contract is "report, but
+        never block the publish gate" — diverting its rows to quarantine
+        would block them), while the violations report still lists them.
+        ``tolerance`` is deliberately NOT honored: it moves the PARTITION
+        verdict ("≤ ε bad rows is an acceptable partition"), but each
+        violating row still fired an error-severity rule and routes to
+        the dead-letter sink for triage.
         """
+        clash = {"row_reasons", "row_passed"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"flag_rows appends columns {sorted(clash)} but the frame "
+                "already has them — rename the source columns first"
+            )
         slots = self._slots(df, assignments)
         entries: list[Column] = []
         for s in slots:
+            if s.assignment.severity == "warn":
+                continue
             for pred, reason in self._row_checks(s):
                 entries.append(F.when(pred, F.lit(f"{s.col}: {reason}")))
         for cr in check_rules or []:
-            # identical violation idiom to operators/checks.py: a row
-            # violates only when the expression is definitively FALSE
+            from ndap_data_validator_spark.operators.checks import (
+                check_violation_pred,
+            )
+
             entries.append(
-                F.when(
-                    F.expr(cr.expression).eqNullSafe(F.lit(False)),
-                    F.lit(f"check: {cr.name}"),
-                )
+                F.when(check_violation_pred(cr), F.lit(f"check: {cr.name}"))
             )
         reasons = (
             F.filter(F.array(*entries), lambda x: x.isNotNull())

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ndap_data_validator_spark.operators.validate import ValidationEngine, ValidationResult
 from ndap_data_validator_spark.plans.checkpoint import NULL_PARTITION, CheckpointStore
 from ndap_data_validator_spark.rules.model import (
+    REASON_INCONSISTENT_TIME,
     ColumnAssignment,
     RuleCatalog,
     assignment_digest,
@@ -179,29 +180,47 @@ def run_validation(
         publishes ONLY when every rule passed; the published object is the
         original rows, unmodified.
       * ``"quarantine"`` — row-granular routing (the dlt-expectations /
-        dead-letter pattern): rows that pass every per-column rule and
-        CHECK rule publish even from partitions with failures, while each
-        failing row lands at ``quarantine_path`` (default
-        ``{publish_path}_quarantine``) carrying a ``row_reasons`` array
-        naming every fired rule — one extra scan-level projection
-        (``ValidationEngine.flag_rows``), no joins against the violations
-        report. Dataset-granular verdicts can't be pinned on rows, so they
-        keep partition granularity: a missing mandatory role (the rule set
-        never compiled), an error-severity expectation failure, or
-        error-severity drift still withholds the whole partition from BOTH
-        sinks — those rows are neither published nor quarantined and a
-        retry re-routes them. Sequence-rule violations report but do not
-        route (a lag() verdict depends on neighbors; quarantining the turn
-        would silently change the neighbors' verdicts on re-run).
-        ``passed_all``, reports, the checkpoint, and the delta watermark
-        are policy-independent — the policy routes output rows, it does
-        not change any verdict, so (like the report paths) it stays out of
-        the rule digest.
+        dead-letter pattern; requires ``publish_path``): rows that pass
+        every error-severity per-column rule and CHECK rule publish even
+        from partitions with failures, while each failing row lands at
+        ``quarantine_path`` (default ``{publish_path}_quarantine``)
+        carrying a ``row_reasons`` array naming every fired rule — one
+        extra scan-level projection (``ValidationEngine.flag_rows``), no
+        joins against the violations report. Verdicts that can't be
+        pinned on rows keep partition granularity and withhold the whole
+        partition from BOTH sinks: a missing mandatory role (the rule set
+        never compiled — skips routing for the run), an aggregate-granular
+        column failure (time-format consistency: the minority-format rows
+        are only identifiable relative to the aggregate majority), an
+        error-severity expectation failure, or error-severity drift.
+        Withheld rows are neither published nor quarantined; a
+        ``full_reload`` run, a new ``run_id``, or a later delta batch
+        re-routes them (a same-run_id resume skips partitions already
+        checkpointed 'done', as always). ``severity="warn"`` rules report
+        but never route (diverting their rows would block the publish
+        their contract guarantees); ``tolerance`` moves only the
+        partition verdict — a within-tolerance violating row still
+        dead-letters, because the tolerance accepts the PARTITION, not
+        the row. Sequence-rule violations report but do not route (a
+        lag() verdict depends on neighbors; quarantining the turn would
+        silently change the neighbors' verdicts on re-run).
+        ``passed_all``, reports, and the checkpoint are
+        policy-independent. The delta watermark keeps its contract ("a
+        failed batch stays re-pickable") re-read under routing: ROUTED
+        failures don't freeze it (their rows already landed — re-picking
+        them would grow the slice forever on one persistently-bad row);
+        only the non-routable withheld failures do. The policy routes
+        output rows without changing any verdict, so (like the report
+        paths) it stays out of the rule digest.
     """
     if row_policy not in ("partition", "quarantine"):
         raise ValueError("row_policy must be 'partition' or 'quarantine'")
     if quarantine_path is not None and row_policy != "quarantine":
         raise ValueError("quarantine_path requires row_policy='quarantine'")
+    if row_policy == "quarantine" and publish_path is None:
+        # without a publish path the whole routing block is skipped — fail
+        # fast instead of silently writing no dead-letter output anywhere
+        raise ValueError("row_policy='quarantine' requires publish_path")
     if load_mode not in LOAD_MODES:
         raise ValueError(f"load_mode must be one of {LOAD_MODES}")
     engine = ValidationEngine(catalog=catalog, schema_name=schema_name)
@@ -506,6 +525,22 @@ def run_validation(
         )
         store.mark_done_frame(metrics_frame)
 
+    # Partitions failing an AGGREGATE-granular column verdict — today only
+    # the time-format-consistency rule, whose minority-format rows no
+    # row-local predicate can identify (the majority format is an aggregate
+    # property) — cannot be row-routed; under the quarantine policy they
+    # stay withheld wholesale, exactly like the default policy. Warn
+    # severity keeps its contract: a warn column's reasons never withhold.
+    agg_only_parts = None
+    if row_policy == "quarantine" and not result.missing_roles:
+        err_cols = [a.column for a in assignments if a.severity != "warn"]
+        agg_only_parts = (
+            result.per_column_report.where(F.col("column").isin(err_cols))
+            .where(F.array_contains("reasons", REASON_INCONSISTENT_TIME))
+            .select("partition_id")
+            .distinct()
+        )
+
     if publish_path is not None and processed:
         # "validation gates publishing; the published object is the ORIGINAL
         # bytes, not the coerced frame" (main.py:1206-1249, 1396, 1414-1415):
@@ -514,14 +549,21 @@ def run_validation(
         # is a semi-join against the (tiny, AQE-broadcast) passed-summary
         # frame — no driver-side partition list.
         if row_policy == "quarantine":
-            # row-granular routing: only CONFIG failures (missing mandatory
-            # roles — the rule set never compiled for those columns, so row
-            # verdicts would be vacuous) gate at partition granularity here;
-            # per-column data failures route row by row below
-            passed_parts = result.summary.where(
-                F.size("missing_roles") == 0
-            ).select("partition_id")
+            # row-granular routing. missing_roles is a run-level CONFIG
+            # verdict (the rule set never compiled for those columns, so
+            # row verdicts would be vacuous) and a driver-side constant —
+            # skip both sinks outright rather than launching two write
+            # jobs guaranteed empty. Aggregate-granular failures withhold
+            # their partition (see agg_only_parts above); everything else
+            # routes row by row below.
+            publish_gated = not result.missing_roles
+            passed_parts = result.summary.select("partition_id")
+            if agg_only_parts is not None:
+                passed_parts = passed_parts.join(
+                    agg_only_parts, "partition_id", "left_anti"
+                )
         else:
+            publish_gated = True
             passed_parts = result.summary.where(F.col("passed")).select(
                 "partition_id"
             )
@@ -544,7 +586,7 @@ def run_validation(
                 "partition_id",
                 "left_anti",
             )
-        if row_policy == "quarantine":
+        if row_policy == "quarantine" and publish_gated:
             # one scan-level projection computes every row's verdict; the
             # dataset-granular gate (passed_parts) then bounds BOTH sinks.
             # Two filtered writes of the same flagged plan — each a clean
@@ -564,7 +606,7 @@ def run_validation(
                 quarantine_path
                 or (publish_path.rstrip("/") + "_quarantine"),
             )
-        else:
+        elif row_policy != "quarantine":
             _write_partitioned(
                 remaining.withColumn("partition_id", key).join(
                     passed_parts, "partition_id", "left_semi"
@@ -585,16 +627,28 @@ def run_validation(
         # the publish gate already withholds those rows. The max is computed
         # over the full batch slice (`df` after the watermark filter), not
         # the resume remainder.
-        wm_fold = df.agg(
-            F.max(F.col(watermark_col)).cast("string").alias("wm")
-        ).crossJoin(
-            result.summary.agg(
+        if row_policy == "quarantine" and agg_only_parts is not None:
+            # Under the quarantine policy, row-attributable failures were
+            # ROUTED (published clean + dead-lettered bad) — freezing on
+            # them would re-pick rows already safely landed, growing the
+            # batch slice forever on one persistently-bad row. Only the
+            # non-routable aggregate-granular failures (withheld wholesale,
+            # genuinely re-pickable) freeze the watermark. With missing
+            # mandatory roles (agg_only_parts is None) routing was skipped
+            # entirely, so the conservative summary gate below applies.
+            fail_fold = agg_only_parts.agg(
+                F.count(F.lit(1)).alias("n_failed")
+            )
+        else:
+            fail_fold = result.summary.agg(
                 F.coalesce(
                     F.sum((F.col("failed_count") > 0).cast("int")),
                     F.lit(0),
                 ).alias("n_failed")
             )
-        )
+        wm_fold = df.agg(
+            F.max(F.col(watermark_col)).cast("string").alias("wm")
+        ).crossJoin(fail_fold)
         if exp_summary is not None:
             # expectation failures are DATA failures for watermark purposes:
             # a retry re-picks the same rows (plus arrivals) and may pass

@@ -15,6 +15,15 @@ from ndap_data_validator_spark.plans.pipeline import run_validation
 from ndap_data_validator_spark.rules.model import CheckRule, ColumnAssignment
 
 
+def _rows_or_zero(spark, path) -> int:
+    # an all-withheld or empty-side write leaves an empty dir (or none):
+    # the missing path and the schema-less read both mean "zero rows"
+    try:
+        return spark.read.parquet(str(path)).count()
+    except Exception:
+        return 0
+
+
 def _frame(spark):
     pdf = pd.DataFrame(
         {
@@ -193,3 +202,141 @@ def test_default_policy_unchanged(spark, tmp_path):
     pub = spark.read.parquet(str(tmp_path / "pub"))
     assert pub.count() == 5
     assert not os.path.exists(str(tmp_path / "pub_quarantine"))
+
+
+def test_quarantine_aggregate_only_failure_withholds(spark, tmp_path):
+    """Time-format consistency is an aggregate verdict — the minority-
+    format rows are only identifiable relative to the majority, so no
+    row-local predicate can route them. The partition is withheld
+    wholesale under the quarantine policy, exactly like the default."""
+    pdf = pd.DataFrame(
+        {
+            "part": ["mixed"] * 4 + ["clean"] * 3,
+            "loc": [f"x{i}" for i in range(7)],
+            "t": ["2021", "2021", "Jan-2021", "2021", "2022", "2022", "2022"],
+            "m": [str(i) for i in range(7)],
+        }
+    )
+    out = run_validation(
+        spark,
+        spark.createDataFrame(pdf),
+        _ASSIGNS,
+        partition_by="part",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        publish_path=str(tmp_path / "pub"),
+        row_policy="quarantine",
+    )
+    assert not out.passed_all
+    pub = spark.read.parquet(str(tmp_path / "pub"))
+    # every row of 'mixed' individually matches a VALID format, so none
+    # can be quarantined — the whole partition is withheld instead
+    assert {r[0] for r in pub.select("partition_id").distinct().collect()} == {
+        "clean"
+    }
+    assert pub.count() == 3
+    # nothing quarantined: the rows aren't individually bad
+    assert _rows_or_zero(spark, tmp_path / "pub_quarantine") == 0
+
+
+def test_quarantine_warn_severity_does_not_route(spark, tmp_path):
+    """warn's contract is 'report, never block the publish gate' — a warn
+    column's violating rows publish under BOTH policies."""
+    assigns = [
+        ColumnAssignment("part", "Others"),
+        ColumnAssignment("loc", "Location", severity="warn"),
+        ColumnAssignment("t", "Time"),
+        ColumnAssignment("m", "Measures", "integer"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "part": ["p"] * 4,
+            "loc": ["a", None, "c", "d"],
+            "t": ["2021"] * 4,
+            "m": ["1", "2", "3", "4"],
+        }
+    )
+    sdf = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
+    out = run_validation(
+        spark,
+        sdf,
+        assigns,
+        partition_by="part",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        publish_path=str(tmp_path / "pub"),
+        row_policy="quarantine",
+    )
+    assert out.passed_all  # warn never fails the verdict
+    pub = spark.read.parquet(str(tmp_path / "pub"))
+    assert pub.count() == 4  # conservation with the default policy
+    assert _rows_or_zero(spark, tmp_path / "pub_quarantine") == 0
+
+
+def test_quarantine_requires_publish_path(spark, tmp_path):
+    with pytest.raises(ValueError, match="publish_path"):
+        run_validation(
+            spark,
+            _frame(spark),
+            _ASSIGNS,
+            partition_by="part",
+            checkpoint_path=str(tmp_path / "ckpt"),
+            row_policy="quarantine",
+        )
+
+
+def test_flag_rows_rejects_reserved_columns(spark):
+    sdf = _frame(spark).withColumn("row_passed", F.lit(True))
+    with pytest.raises(ValueError, match="row_passed"):
+        ValidationEngine().flag_rows(sdf, _ASSIGNS)
+
+
+def test_quarantine_delta_watermark_advances_past_routed_rows(
+    spark, tmp_path
+):
+    """Under the quarantine policy a routed (dead-lettered) failure must
+    NOT freeze the delta watermark: the bad row already landed in the
+    quarantine sink, so re-picking it forever would grow every later
+    batch. Under the default policy the same batch freezes (withheld rows
+    are genuinely re-pickable)."""
+    from ndap_data_validator_spark.plans.checkpoint import CheckpointStore
+
+    pdf = pd.DataFrame(
+        {
+            "part": ["p"] * 4,
+            "loc": ["a", None, "c", "d"],  # one permanently-bad row
+            "t": ["2021"] * 4,
+            "m": ["1", "2", "3", "4"],
+            "wm": ["2024-01-0%d" % (i + 1) for i in range(4)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
+
+    run_validation(
+        spark,
+        sdf,
+        _ASSIGNS,
+        partition_by="part",
+        checkpoint_path=str(tmp_path / "ckpt_q"),
+        publish_path=str(tmp_path / "pub_q"),
+        row_policy="quarantine",
+        load_mode="delta",
+        watermark_col="wm",
+    )
+    assert (
+        CheckpointStore(spark, str(tmp_path / "ckpt_q")).last_watermark("wm")
+        == "2024-01-04"
+    )
+
+    run_validation(
+        spark,
+        sdf,
+        _ASSIGNS,
+        partition_by="part",
+        checkpoint_path=str(tmp_path / "ckpt_d"),
+        publish_path=str(tmp_path / "pub_d"),
+        load_mode="delta",
+        watermark_col="wm",
+    )
+    assert (
+        CheckpointStore(spark, str(tmp_path / "ckpt_d")).last_watermark("wm")
+        is None
+    )
