@@ -697,3 +697,64 @@ def test_drift_windowed_stream_equals_batch(spark, tmp_path):
         (str(r["window_start"]), r["drifted"]) for r in batch.values()
     )
     assert [v for _, v in verdicts] == [False, True]
+
+
+def test_flag_rows_stream_equals_batch(spark, tmp_path):
+    """Row-level rule verdicts (ValidationEngine.flag_rows) are one
+    stateless scan-level projection, so the SAME call runs unchanged on a
+    readStream frame — the at-ingest half of the quarantine routing
+    policy. Per-micro-batch verdicts must equal the batch run over the
+    full input."""
+    from ndap_data_validator_spark.operators.validate import ValidationEngine
+    from ndap_data_validator_spark.rules.model import CheckRule, ColumnAssignment
+
+    assigns = [
+        ColumnAssignment("loc", "Location"),
+        ColumnAssignment("fy", "Time"),
+        ColumnAssignment("m", "Measures", "integer"),
+    ]
+    checks = [CheckRule("m_cap", "TRY_CAST(m AS INT) < 100")]
+    schema = "rid long, loc string, fy string, m string"
+
+    src = str(tmp_path / "fsrc")
+    f1 = [(1, "a", "2021", "7"), (2, None, "2021", "8")]
+    f2 = [(3, "c", "2021", "oops"), (4, "d", "2021", "150")]
+    for rows in [f1, f2]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    eng = ValidationEngine()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        eng.flag_rows(stream, assigns, check_rules=checks)
+        .writeStream.format("memory")
+        .queryName("flag_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def _norm(rows):
+        return sorted(
+            (r["rid"], tuple(r["row_reasons"]), r["row_passed"]) for r in rows
+        )
+
+    got = _norm(spark.sql("SELECT * FROM flag_stream").collect())
+    batch = _norm(
+        eng.flag_rows(
+            spark.read.parquet(src), assigns, check_rules=checks
+        ).collect()
+    )
+    assert got == batch
+    verdicts = {rid: (reasons, ok) for rid, reasons, ok in got}
+    assert verdicts[1] == ((), True)
+    assert verdicts[2] == (("loc: No Nulls allowed",), False)
+    assert verdicts[3] == (("m: Non-numeric values detected",), False)
+    assert verdicts[4] == (("check: m_cap",), False)
