@@ -131,7 +131,17 @@ def run_validation(
     ``check_rules`` (optional list of ``rules.model.CheckRule``) writes
     row-level CHECK-constraint violations to
     ``{report_path}/check_violations`` — one scan-level projection, no
-    shuffle; ``order_by`` columns identify the violating rows.
+    shuffle; ``order_by`` columns identify the violating rows. CHECK
+    rules are the row-REPORTING (and, under ``row_policy="quarantine"``,
+    row-ROUTING) family; they do not by themselves gate the partition
+    verdict. To make a CHECK failure fail the partition, withhold publish,
+    and freeze the delta watermark, pair it with
+    ``MetricRule(name, "compliance", expression="(<expr>) IS NOT FALSE",
+    min_bound=1.0)`` — the same expression under CHECK's NULL-passes
+    semantics (compliance alone counts NULL as non-compliant), evaluated
+    in the expectations aggregate with full severity/digest/anomaly
+    wiring. One mechanism for verdicts, one for rows; both compile from
+    the same SQL string.
 
     ``max_violations_per_rule`` caps the per-row violation OUTPUT at the
     first K rows per (partition, column, reason) by the ``order_by`` key —

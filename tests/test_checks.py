@@ -111,3 +111,61 @@ def test_pipeline_writes_check_violations(spark, tmp_path):
     assert [(r["id"], r["check"], r["partition_id"]) for r in rows] == [
         (3, "hi_ge_lo", "p2")
     ]
+
+
+def test_check_rule_paired_with_compliance_gates_verdict(spark, tmp_path):
+    """CHECK rules report rows; the documented pairing with
+    MetricRule(compliance, '(expr) IS NOT FALSE', min_bound=1.0) gives
+    the same expression full verdict semantics: the violating partition
+    fails, is withheld from publish, and the clean one publishes. The
+    IS NOT FALSE wrapper preserves CHECK's NULL-passes reading."""
+    import pandas as pd
+
+    from ndap_data_validator_spark.operators.expectations import MetricRule
+    from ndap_data_validator_spark.plans.pipeline import run_validation
+    from ndap_data_validator_spark.rules.model import CheckRule, ColumnAssignment
+
+    expr = "TRY_CAST(m AS INT) < 100"
+    pdf = pd.DataFrame(
+        {
+            "part": ["good"] * 3 + ["bad"] * 3,
+            "t": ["2021"] * 6,
+            "v": ["1", "2", "3", "4", "5", "6"],  # clean Measures column
+            # NULL-producing 'oops' must PASS the check (unknown), so only
+            # 'bad' (with 150) violates
+            "m": ["1", "2", "oops", "3", "150", "4"],
+        }
+    )
+    out = run_validation(
+        spark,
+        spark.createDataFrame(pdf),
+        [
+            ColumnAssignment("part", "Others"),
+            ColumnAssignment("t", "Time"),
+            ColumnAssignment("v", "Measures", "integer"),
+            # m stays un-assigned so the 'oops' row is not a column-rule
+            # failure - the check/compliance pair is the only gate
+        ],
+        partition_by="part",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        report_path=str(tmp_path / "rep"),
+        publish_path=str(tmp_path / "pub"),
+        order_by=["m"],
+        check_rules=[CheckRule("m_cap", expr)],
+        metric_rules=[
+            MetricRule(
+                "m_cap_holds",
+                "compliance",
+                expression=f"({expr}) IS NOT FALSE",
+                min_bound=1.0,
+            )
+        ],
+    )
+    assert not out.passed_all
+    pub = spark.read.parquet(str(tmp_path / "pub"))
+    assert {r[0] for r in pub.select("partition_id").distinct().collect()} == {
+        "good"
+    }
+    # and the row-level report still names the one violating row
+    chk = spark.read.parquet(str(tmp_path / "rep") + "/check_violations")
+    assert [(r["m"], r["check"]) for r in chk.collect()] == [("150", "m_cap")]
