@@ -1242,5 +1242,31 @@ assert "row_reasons" not in q_pub.columns and "row_passed" not in q_pub.columns
 print(f"quarantine policy: {q_quar.count()} null-conv rows diverted with "
       f"reasons, {q_pub.count()} clean rows published (conservation holds)")
 
+# ---- r05 late: driver-side rule pre-flight ---------------------------------
+from ndap_data_validator_spark.operators.expectations import MetricRule as _MR
+from ndap_data_validator_spark.rules.model import CheckRule as _CR
+from ndap_data_validator_spark.rules.preflight import preflight_rules
+
+pf_clean = preflight_rules(
+    spark,
+    df,
+    assignments=[ColumnAssignment("conv_id", "Location")],
+    check_rules=[_CR("turn_nonneg", "turn_idx >= 0")],
+    metric_rules=[_MR("rows", "row_count", min_bound=1)],
+)
+assert pf_clean == [], pf_clean
+pf_bad = preflight_rules(
+    spark,
+    df,
+    assignments=[ColumnAssignment("conv_idd", "Location")],  # typo
+    check_rules=[_CR("typo", "turn_idxx >= 0")],
+)
+assert {(e.family, e.rule) for e in pf_bad} == {
+    ("assignment", "conv_idd"),
+    ("check", "typo"),
+}, pf_bad
+print("preflight: clean catalog resolves; typo'd assignment + check "
+      "reported driver-side, no job launched")
+
 print("JOB OK")
 spark.stop()
