@@ -221,3 +221,63 @@ def test_profile_matches_python_oracle(spark, seed):
     assert prof["num"]["min"] == min(nums)
     assert prof["num"]["max"] == max(nums)
     assert prof["num"]["null_frac"] == sum(r[2] is None for r in rows) / 300
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_fuzz_quarantine_conservation(spark, tmp_path, seed):
+    """Quarantine-policy invariants over seeded random frames (which
+    naturally produce mixed-format Time partitions, i.e. the aggregate-
+    only withheld class): published + quarantined + withheld == source,
+    and the quarantined rid set is EXACTLY the distinct violating rids of
+    the non-withheld partitions (the violations report and flag_rows
+    compile the same predicates)."""
+    from ndap_data_validator_spark.plans.pipeline import run_validation
+    from ndap_data_validator_spark.rules.model import (
+        REASON_INCONSISTENT_TIME,
+    )
+
+    rng = random.Random(seed)
+    n = 120
+    pdf = _random_frame(seed, n)
+    pdf["part"] = [f"p{rng.randrange(4)}" for _ in range(n)]
+    pdf["rid"] = list(range(n))
+    sdf = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
+    assigns = ASSIGNS + [ColumnAssignment("part", "Others")]
+    out = run_validation(
+        spark,
+        sdf,
+        assigns,
+        partition_by="part",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        report_path=str(tmp_path / "rep"),
+        publish_path=str(tmp_path / "pub"),
+        order_by=["rid"],
+        row_policy="quarantine",
+    )
+
+    withheld = {
+        r["partition_id"]
+        for r in out.result.per_column_report.collect()
+        if REASON_INCONSISTENT_TIME in list(r["reasons"])
+    }
+
+    def _rids(path):
+        try:
+            return {r["rid"] for r in spark.read.parquet(str(path)).collect()}
+        except Exception:
+            return set()
+
+    pub = _rids(tmp_path / "pub")
+    quar = _rids(tmp_path / "pub_quarantine")
+    withheld_rids = set(pdf[pdf["part"].isin(withheld)]["rid"])
+    # conservation: the three routes partition the source exactly
+    assert pub | quar | withheld_rids == set(range(n)), seed
+    assert not (pub & quar) and not (pub & withheld_rids) and not (
+        quar & withheld_rids
+    ), seed
+    # routing agrees with the violations report on non-withheld partitions
+    viol = spark.read.parquet(str(tmp_path / "rep") + "/violations").collect()
+    viol_rids = {
+        r["rid"] for r in viol if r["partition_id"] not in withheld
+    }
+    assert quar == viol_rids, seed
