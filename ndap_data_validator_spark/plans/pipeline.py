@@ -88,6 +88,7 @@ def run_validation(
     expected_min_rows: int = 1,
     row_policy: str = "partition",
     quarantine_path: str | None = None,
+    preflight: bool = False,
 ) -> RunOutcome:
     """Checkpointed validation run.
 
@@ -231,6 +232,29 @@ def run_validation(
         # without a publish path the whole routing block is skipped — fail
         # fast instead of silently writing no dead-letter output anywhere
         raise ValueError("row_policy='quarantine' requires publish_path")
+    if preflight:
+        # opt-in fail-in-seconds gate (rules/preflight.py): analysis-check
+        # every rule family against the input schema on a zero-row frame —
+        # no job — and refuse the run with the COMPLETE fix list instead
+        # of dying mid-cluster on the first unresolved expression (or
+        # silently ignoring an assignment that names an absent column)
+        from ndap_data_validator_spark.rules.preflight import preflight_rules
+
+        pf_errors = preflight_rules(
+            spark,
+            df,
+            assignments=assignments,
+            check_rules=check_rules,
+            metric_rules=metric_rules,
+            sequence_rule=sequence_rule,
+            catalog=catalog,
+            schema_name=schema_name,
+        )
+        if pf_errors:
+            raise ValueError(
+                "rule pre-flight failed:\n"
+                + "\n".join(str(e) for e in pf_errors)
+            )
     if load_mode not in LOAD_MODES:
         raise ValueError(f"load_mode must be one of {LOAD_MODES}")
     engine = ValidationEngine(catalog=catalog, schema_name=schema_name)

@@ -86,3 +86,44 @@ def test_preflight_freshness_rule_compiles_without_metric_now(spark):
         ],
     )
     assert errs == []
+
+
+def test_run_validation_preflight_gate(spark, tmp_path):
+    """run_validation(preflight=True) refuses a bad catalog with the full
+    fix list before any job; a clean catalog runs normally. Default
+    (False) keeps the engine's reference-parity silent-ignore contract."""
+    import pandas as pd
+    import pytest
+
+    from ndap_data_validator_spark.plans.pipeline import run_validation
+
+    pdf = pd.DataFrame(
+        {"part": ["p"] * 3, "t": ["2021"] * 3, "m": ["1", "2", "3"]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    good = [
+        ColumnAssignment("part", "Others"),
+        ColumnAssignment("t", "Time"),
+        ColumnAssignment("m", "Measures", "integer"),
+    ]
+    with pytest.raises(ValueError, match=r"(?s)pre-flight.*ghost") as ei:
+        run_validation(
+            spark,
+            sdf,
+            good + [ColumnAssignment("ghost", "Location")],
+            partition_by="part",
+            checkpoint_path=str(tmp_path / "ckpt"),
+            check_rules=[CheckRule("typo", "nope > 0")],
+            preflight=True,
+        )
+    # the COMPLETE list: both defects named in one error
+    assert "typo" in str(ei.value)
+    out = run_validation(
+        spark,
+        sdf,
+        good,
+        partition_by="part",
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        preflight=True,
+    )
+    assert out.passed_all
