@@ -365,15 +365,18 @@ def test_run_validation_releases_summary_caches(spark, tmp_path):
     from ndap_data_validator_spark.plans.pipeline import run_validation
     from ndap_data_validator_spark.rules.model import ColumnAssignment
 
-    # drop DataFrame caches stranded by earlier tests in this shared
-    # session: CacheManager dedups identical logical plans, so a leak here
-    # could otherwise hide behind an earlier test's identical cached frame
-    # (before == after because THIS run reused that entry instead of
-    # registering its own). localCheckpoint RDDs from other tests may
-    # still be registered — hence before/after, not ==0.
+    # Assert on the CacheManager, not getPersistentRDDs: the RDD registry
+    # also carries localCheckpoint RDDs from OTHER tests in the shared
+    # session, and the ContextCleaner may evict one mid-test (a
+    # before/after count race that flaked the full suite); the
+    # CacheManager holds exactly the persisted-DataFrame class this test
+    # guards. clearCache first: CacheManager dedups identical logical
+    # plans, so a leak could otherwise hide behind an earlier test's
+    # identical cached frame (the run reuses that entry instead of
+    # registering its own).
     spark.catalog.clearCache()
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_manager.isEmpty()
     run_validation(
         spark,
         spark.createDataFrame(_pdf()),
@@ -387,4 +390,4 @@ def test_run_validation_releases_summary_caches(spark, tmp_path):
         metric_rules=[MetricRule("rows", "row_count", min_bound=1)],
         drift_rule=DriftRule(_baseline(spark), severity="warn"),
     )
-    assert jsc.getPersistentRDDs().size() == before
+    assert cache_manager.isEmpty()
