@@ -905,7 +905,18 @@ def q_dtype_coercion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-frame coercion report in one agg."""
     from ndap_data_validator_spark.operators.coerce import coerce_by_dtypes
 
-    d = _derived(spark, sf_dir).select("year_str", "int_m", "float_m")
+    # r06: project events to the 3 source columns the derived exprs need,
+    # then spread — the single-row-group bench parquet plans 1-2 scan
+    # splits, so the regex-heavy coercion aggregate otherwise runs nearly
+    # single-threaded (guide §2.5 input skew; same remedy as bpe_encode).
+    e = _spread(_t(spark, sf_dir, "events").select("event_id", "ts", "value"))
+    d = e.selectExpr(
+        *[
+            x
+            for x in _SPARK_DERIVED_EXPRS
+            if x.split()[-1] in ("year_str", "int_m", "float_m")
+        ]
+    )
     _, report = coerce_by_dtypes(
         d, {"year_str": "integer", "int_m": "integer", "float_m": "float"}
     )
@@ -973,30 +984,49 @@ def q_scalar_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         coerce_to_datetime,
     )
 
-    d = _t(spark, sf_dir, "events").selectExpr(*_SPARK_BOOL_TS_EXPRS)
+    # ONE pass (r06): the former two-agg union scanned events twice; both
+    # rows now come from a single shared aggregate (guide §2.4), and the
+    # scan is projected to (event_id, ts) then spread so the
+    # try_to_timestamp/boolean-token chains run on every core instead of
+    # the source's one-or-two parquet splits (guide §2.5 input skew).
+    d = _spread(
+        _t(spark, sf_dir, "events").select("event_id", "ts")
+    ).selectExpr(*_SPARK_BOOL_TS_EXPRS)
     bval, berr = coerce_to_boolean(F.col("bool_m"))
     tval, terr = coerce_to_datetime(F.col("ts_str"))
-    brow = d.agg(
-        F.lit("bool_m").alias("column"),
-        F.sum((bval == True).cast("long")).alias("n_true"),  # noqa: E712
-        F.sum((bval == False).cast("long")).alias("n_false"),  # noqa: E712
-        F.sum(bval.isNull().cast("long")).alias("nulls"),
-        F.lit(None).cast("long").alias("n_parsed"),
-        F.sum(berr.cast("long")).alias("conversion_errors"),
-        F.lit(None).cast("string").alias("min_ts"),
-        F.lit(None).cast("string").alias("max_ts"),
+    agg = d.agg(
+        F.sum((bval == True).cast("long")).alias("__n_true"),  # noqa: E712
+        F.sum((bval == False).cast("long")).alias("__n_false"),  # noqa: E712
+        F.sum(bval.isNull().cast("long")).alias("__b_nulls"),
+        F.sum(berr.cast("long")).alias("__b_errs"),
+        F.sum(tval.isNotNull().cast("long")).alias("__n_parsed"),
+        F.sum(terr.cast("long")).alias("__t_errs"),
+        F.date_format(F.min(tval), "yyyy-MM-dd HH:mm:ss").alias("__min_ts"),
+        F.date_format(F.max(tval), "yyyy-MM-dd HH:mm:ss").alias("__max_ts"),
     )
-    trow = d.agg(
-        F.lit("ts_str").alias("column"),
-        F.lit(None).cast("long").alias("n_true"),
-        F.lit(None).cast("long").alias("n_false"),
-        F.lit(None).cast("long").alias("nulls"),
-        F.sum(tval.isNotNull().cast("long")).alias("n_parsed"),
-        F.sum(terr.cast("long")).alias("conversion_errors"),
-        F.date_format(F.min(tval), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
-        F.date_format(F.max(tval), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    rows = F.array(
+        F.struct(
+            F.lit("bool_m").alias("column"),
+            F.col("__n_true").alias("n_true"),
+            F.col("__n_false").alias("n_false"),
+            F.col("__b_nulls").alias("nulls"),
+            F.lit(None).cast("long").alias("n_parsed"),
+            F.col("__b_errs").alias("conversion_errors"),
+            F.lit(None).cast("string").alias("min_ts"),
+            F.lit(None).cast("string").alias("max_ts"),
+        ),
+        F.struct(
+            F.lit("ts_str").alias("column"),
+            F.lit(None).cast("long").alias("n_true"),
+            F.lit(None).cast("long").alias("n_false"),
+            F.lit(None).cast("long").alias("nulls"),
+            F.col("__n_parsed").alias("n_parsed"),
+            F.col("__t_errs").alias("conversion_errors"),
+            F.col("__min_ts").alias("min_ts"),
+            F.col("__max_ts").alias("max_ts"),
+        ),
     )
-    return brow.unionByName(trow)
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1976,53 +2006,44 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     r05: also the md5 of the INTEGER TOKEN-ID sequence under the corpus
     vocabulary (bpe.bpe_vocab — base alphabet in byte order, then merge
     products in rank order), i.e. the tensor a trainer actually consumes;
-    the vocab is metadata-sized and broadcast, ids re-assemble in ONE
-    groupBy on the doc key."""
+    the vocab is metadata-sized and lives on the driver, so id lookup is a
+    literal-map projection — zero joins, zero shuffles (r06: the former
+    posexplode → broadcast-join → groupBy reassembly shuffled the full
+    encoded stream once per token; guide §2.3/§2.4)."""
     from ndap_data_validator_spark.functions.bpe import (
         bpe_stream,
         bpe_token_count_from_stream,
         bpe_tokens_from_stream,
-        bpe_vocab,
+        bpe_vocab_list,
     )
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    vocab_df, _n_base = bpe_vocab(_t(spark, sf_dir, "documents"), "text")
+    # vocab build parallelized over the SAME spread frame (the single-split
+    # scan otherwise runs the char-wrap chain in one task at bench SFs)
+    vocab, _n_base = bpe_vocab_list(d, "text")
+    id_map = F.create_map(
+        *[x for tid, tok in vocab for x in (F.lit(tok), F.lit(tid))]
+    )
     # spread the one-split scan, then compute the replace chain ONCE behind
-    # an alias barrier — count, stream md5 and the token texts all derive
-    # from the aliased stream
+    # an alias barrier — count, stream md5 and the token ids all derive
+    # from the aliased stream. Position order is the array order, OOV
+    # (never-merged chars absent from the vocab corpus) drop out exactly
+    # like the old collect_list-of-non-null path.
     base = d.select("doc_id", bpe_stream(F.col("text")).alias("__enc"))
-    tok = base.select(
+    ids = F.filter(
+        F.transform(
+            bpe_tokens_from_stream(F.col("__enc")), lambda t: id_map[t]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    withids = base.select(
         "doc_id",
         "__enc",
-        F.posexplode_outer(bpe_tokens_from_stream(F.col("__enc"))).alias(
-            "__pos", "__tok"
-        ),
+        F.array_join(
+            F.transform(ids, lambda i: i.cast("string")), ","
+        ).alias("__idstr"),
     )
-    agg = (
-        tok.join(
-            F.broadcast(vocab_df.withColumnRenamed("token", "__tok")),
-            on="__tok",
-            how="left",
-        )
-        .groupBy("doc_id", "__enc")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("token_id").isNotNull(),
-                                F.struct(F.col("__pos"), F.col("token_id")),
-                            )
-                        )
-                    ),
-                    lambda s: s["token_id"].cast("string"),
-                ),
-                ",",
-            ).alias("__idstr")
-        )
-    )
-    return agg.select(
+    return withids.select(
         "doc_id",
         bpe_token_count_from_stream(F.col("__enc")).alias("n_tokens_bpe_real"),
         F.md5(F.col("__enc")).alias("stream_md5"),

@@ -135,30 +135,18 @@ def bpe_tokens(col: Column, merges: list[tuple[str, str]] | None = None) -> Colu
 # ------------------------------------------------------- token ids / decode
 
 
-def bpe_vocab(
+def bpe_vocab_list(
     docs,
     text_col: str = "text",
     merges: list[tuple[str, str]] | None = None,
-):
-    """Integer token-id vocabulary over a corpus: base symbols are the
-    DISTINCT single characters of the pretokenized+cleaned corpus in
-    binary (UTF-8 byte) order → ids ``0..B-1``, then each merge's product
-    string in rank order → ids ``B..B+K-1`` (a product already seen at an
-    earlier rank keeps its first id; products are ≥2 chars so they can
-    never collide with base symbols). This is the id assignment a real
-    BPE vocabulary file carries — base alphabet first, merges in learned
-    order — so ids are stable given (corpus, merges).
-
-    Returns ``(vocab_df, n_base)`` where ``vocab_df`` has columns
-    ``(token_id int, token string)`` built as ONE single-slice literal
-    frame (the vocab is metadata-sized — |alphabet| + |merges| rows — so
-    it lives on the driver and broadcasts everywhere it is joined, like
-    the quality-classifier weights). Distributed shape of the build: one
-    distinct over the exploded char frame (char-sized, never
-    corpus-sized), collected once.
-    """
+) -> tuple[list[tuple[int, str]], int]:
+    """Driver-side vocabulary build (see :func:`bpe_vocab` for the id
+    contract). Returns ``(vocab_rows, n_base)`` where ``vocab_rows`` is a
+    metadata-sized ``[(token_id, token), ...]`` list — |alphabet| +
+    |merges| entries. Distributed shape: one distinct over the exploded
+    char frame (char-sized, never corpus-sized), collected once; the
+    per-partition distinct set is what crosses the shuffle."""
     merges = BPE_MERGES_DEFAULT if merges is None else merges
-    spark = docs.sparkSession
     char_rows = (
         docs.select(bpe_stream(F.col(text_col), merges=[]).alias("state"))
         .where(F.col("state").isNotNull() & (F.length("state") > 0))
@@ -186,10 +174,37 @@ def bpe_vocab(
         seen.add(prod)
         vocab.append((next_id, prod))
         next_id += 1
+    return vocab, len(base)
+
+
+def bpe_vocab(
+    docs,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+):
+    """Integer token-id vocabulary over a corpus: base symbols are the
+    DISTINCT single characters of the pretokenized+cleaned corpus in
+    binary (UTF-8 byte) order → ids ``0..B-1``, then each merge's product
+    string in rank order → ids ``B..B+K-1`` (a product already seen at an
+    earlier rank keeps its first id; products are ≥2 chars so they can
+    never collide with base symbols). This is the id assignment a real
+    BPE vocabulary file carries — base alphabet first, merges in learned
+    order — so ids are stable given (corpus, merges).
+
+    Returns ``(vocab_df, n_base)`` where ``vocab_df`` has columns
+    ``(token_id int, token string)`` built as ONE single-slice literal
+    frame (the vocab is metadata-sized — |alphabet| + |merges| rows — so
+    it lives on the driver and broadcasts everywhere it is joined, like
+    the quality-classifier weights); see :func:`bpe_vocab_list` for the
+    distributed shape of the build.
+    """
     from ndap_data_validator_spark.session import literal_frame
 
-    vocab_df = literal_frame(spark, vocab, "token_id int, token string")
-    return vocab_df, len(base)
+    vocab, n_base = bpe_vocab_list(docs, text_col, merges)
+    vocab_df = literal_frame(
+        docs.sparkSession, vocab, "token_id int, token string"
+    )
+    return vocab_df, n_base
 
 
 def bpe_encode_ids(
@@ -380,10 +395,15 @@ def bpe_train_merges(
     DuckDB's default VARCHAR order both implement, so the DuckDB oracle
     replays the exact same merge sequence.
     """
+    # LAZY localCheckpoints (r06): each round's state materializes inside
+    # that round's pair-count job instead of as its own eager job — one
+    # driver round-trip per merge instead of two, same lineage truncation
+    # (the checkpoint is forced by the very next action, so the plan never
+    # nests more than one replace).
     state = (
         docs.select(bpe_stream(F.col(text_col), merges=[]).alias("state"))
         .where(F.col("state").isNotNull())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
@@ -404,7 +424,7 @@ def bpe_train_merges(
                 F.lit(SYM + a + SYM + SYM + b + SYM),
                 F.lit(SYM + a + b + SYM),
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -178,21 +178,29 @@ def exact_percentiles_distributed(
         )
         totals = tagged.groupBy("pid").agg(F.sum("cnt").alias("pc"))
         w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+        # n (the global count) rides the SAME ≤num_range_partitions-row
+        # offsets frame as a full-range window sum (r06): the former
+        # separate ``totals.agg(sum)`` broadcast was one more serial
+        # broadcast stage per call AND recomputed the totals subtree.
+        w_all = Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
         offsets = totals.select(
-            "pid", F.coalesce(F.sum("pc").over(w_off), F.lit(0)).alias("off")
+            "pid",
+            F.coalesce(F.sum("pc").over(w_off), F.lit(0)).alias("off"),
+            F.sum("pc").over(w_all).alias("n"),
         )
         w_local = (
             Window.partitionBy("pid")
             .orderBy("v")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        ranked = tagged.join(F.broadcast(offsets), "pid").select(
+        withn = tagged.join(F.broadcast(offsets), "pid").select(
             "v",
             (F.sum("cnt").over(w_local) + F.col("off")).alias("c_end"),
             "cnt",
+            "n",
         ).withColumn("c_start", F.col("c_end") - F.col("cnt"))
-        n_df = totals.agg(F.sum("pc").alias("n"))
-        withn = ranked.crossJoin(F.broadcast(n_df))
         aggs = []
         for p, name in zip(ps, names):
             r = (F.col("n").cast("double") - 1.0) * F.lit(float(p))
