@@ -513,9 +513,9 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition, no driver collect) as long-form scope='<priority>'
     rows next to the scope='dataset' row."""
     from ndap_data_validator_spark.operators.drift import (
+        _ks_agg_plan,
         categorical_drift,
         drift_report_partitioned,
-        ks_exact_from_counts,
         two_sample_value_counts,
     )
 
@@ -546,21 +546,41 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four back-to-back driver round-trips of pure fixed cost at sf0.1).
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=3)
+    pool = ThreadPoolExecutor(max_workers=2)
     cat_future = pool.submit(
         lambda: categorical_drift(
             o, "o_orderpriority", F.year("o_orderdate") <= 1997
         ).first()
     )
     try:
+        # r06: the fixed-grid histograms FOLD INTO the exact-KS aggregate
+        # as extra sum(when(bin=i, cnt)) columns over the same per-value
+        # rows — ONE job returns ks + n_a/n_b + both 22-bin histograms
+        # (was: a serial histogram collect, then a separate KS job).
         b = F.width_bucket(
             F.col("v"), F.lit(_DRIFT_LO), F.lit(_DRIFT_HI), F.lit(_DRIFT_BINS)
         )
-        hrows = counts.groupBy(b.alias("bin_id")).agg(
-            F.sum("a_cnt").alias("a"), F.sum("b_cnt").alias("b")
-        ).collect()
+        n_hist_bins = _DRIFT_BINS + 2  # underflow 0 .. overflow n_bins+1
+        extra = []
+        for i in range(n_hist_bins):
+            extra.append(
+                F.sum(F.when(b == i, F.col("a_cnt"))).alias(f"__ha_{i}")
+            )
+            extra.append(
+                F.sum(F.when(b == i, F.col("b_cnt"))).alias(f"__hb_{i}")
+            )
+        krow = _ks_agg_plan(counts, 32, extra).first()
+        if krow["n_a"] is None:  # both sides empty (can't happen on orders)
+            ks_exact = 0.0
+        else:
+            ks_exact = (
+                krow["ks"]
+                if krow["n_a"] > 0 and krow["n_b"] > 0
+                else None
+            )
 
         def grid(key):
+            pref = "__ha_" if key == "a" else "__hb_"
             return {
                 "o_totalprice": {
                     "lo": _DRIFT_LO,
@@ -569,7 +589,9 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # zero-count bins stay ABSENT, exactly like the
                     # per-side histogram() aggregates they replace
                     "counts": {
-                        int(r["bin_id"]): int(r[key]) for r in hrows if r[key]
+                        i: int(krow[f"{pref}{i}"])
+                        for i in range(n_hist_bins)
+                        if krow[f"{pref}{i}"]
                     },
                 }
             }
@@ -591,17 +613,9 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 weight="b_cnt",
             ).collect()
         )
-        # the exact KS reads the same (already materialized) cache as the
-        # priority leg — run the two jobs concurrently; with the
-        # categorical job still in flight the entry's post-histogram tail
-        # is max(exact KS, priority leg, categorical), not their sum
-        ks_future = pool.submit(
-            lambda: ks_exact_from_counts(counts).first()["ks"]
-        )
         part_rows = sorted(
             part_future.result(), key=lambda p: p["partition_id"]
         )
-        ks_exact = ks_future.result()
         # categorical drift (NEW r05) on the same split, over the
         # categorical column: per-category two-sample counts → smoothed PSI
         # + two-sample chi-square, all Catalyst arithmetic on the
@@ -1223,11 +1237,19 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("value"),
         F.lit(True).alias("keep"),
     )
-    d = _spread(_t(spark, sf_dir, "documents"))
-    raw = d.where(F.col("doc_id") < 300).select("doc_id", "text")
-    tgt = d.where(
-        (F.pmod(F.col("doc_id"), F.lit(5)) == 0) & (F.col("doc_id") < 400)
-    ).select("text")
+    # r06: filter BEFORE the spread — the former _spread(documents) put the
+    # whole corpus through the round-robin exchange to feed a ≤300-doc DSIR
+    # leg (guide §2.3: shuffle only what the operator consumes); the filter
+    # also pushes down to the parquet scan now.
+    d = _t(spark, sf_dir, "documents")
+    raw = _spread(
+        d.where(F.col("doc_id") < 300).select("doc_id", "text")
+    )
+    tgt = _spread(
+        d.where(
+            (F.pmod(F.col("doc_id"), F.lit(5)) == 0) & (F.col("doc_id") < 400)
+        ).select("text")
+    )
     dsir = dsir_select(raw, tgt, keep_fraction=0.25, n_buckets=4096).select(
         F.lit("dsir").alias("method"),
         F.col("doc_id").alias("row_key"),
@@ -1388,11 +1410,14 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation buffer ever holds all values (the r02 weak spot; single-group
     ``percentile()`` is OOM territory at 100×)."""
     from ndap_data_validator_spark.operators.stats import (
-        exact_percentiles_distributed,
+        exact_percentiles_plan,
     )
 
     li = _t(spark, sf_dir, "lineitem")
-    res = exact_percentiles_distributed(
+    # r06: the LAZY plan twin — interpolation in-plan, so the whole entry
+    # is ONE action instead of an eager multi-broadcast prefix plus a
+    # literal-frame write (same arithmetic op-for-op, bit-identical).
+    res = exact_percentiles_plan(
         li, "l_extendedprice", ps=(0.5, 0.95, 0.99)
     )
     return res.select(
@@ -1487,12 +1512,19 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         reconcile_summary,
     )
     from ndap_data_validator_spark.operators.stats import (
-        exact_percentiles_distributed,
+        exact_percentiles_plan,
     )
 
-    half = exact_percentiles_distributed(e, "event_id", (0.5,)).first()["p50"]
-    a = e.where(F.col("event_id") <= half).select("event_type", (F.col("user_id") % 5).alias("bucket"))
-    b = e.where(F.col("event_id") > half).select("event_type", (F.col("user_id") % 5).alias("bucket"))
+    # r06: the split median stays IN-PLAN as a broadcast scalar (the LAZY
+    # percentile twin) instead of an eager multi-broadcast prefix — the
+    # entry is now ONE action and the reconcile leg's stages overlap the
+    # median chain inside the same job (guide §2.6).
+    half_df = exact_percentiles_plan(e, "event_id", (0.5,)).select(
+        F.col("p50").alias("__half")
+    )
+    eh = e.crossJoin(F.broadcast(half_df))
+    a = eh.where(F.col("event_id") <= F.col("__half")).select("event_type", (F.col("user_id") % 5).alias("bucket"))
+    b = eh.where(F.col("event_id") > F.col("__half")).select("event_type", (F.col("user_id") % 5).alias("bucket"))
     except_leg = (
         a.exceptAll(b)
         .groupBy("event_type", "bucket")

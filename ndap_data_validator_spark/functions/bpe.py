@@ -147,16 +147,20 @@ def bpe_vocab_list(
     char frame (char-sized, never corpus-sized), collected once; the
     per-partition distinct set is what crosses the shuffle."""
     merges = BPE_MERGES_DEFAULT if merges is None else merges
+    # Char census WITHOUT the sentinel framing (r06): the distinct symbols
+    # of the framed state are exactly the distinct code points of the
+    # concatenated pretokens, so one '(?s).' extract over
+    # array_join(pretokens) replaces the per-char wrap chain + double
+    # split — same set, ~half the regex work per row.
+    clean = F.regexp_replace(F.col(text_col), _CLEAN_RE, " ")
+    flat = F.array_join(
+        F.regexp_extract_all(clean, F.lit(BPE_ISH_TOKEN_RE), F.lit(0)), ""
+    )
     char_rows = (
-        docs.select(bpe_stream(F.col(text_col), merges=[]).alias("state"))
-        .where(F.col("state").isNotNull() & (F.length("state") > 0))
-        .select(F.explode(F.split("state", SEP)).alias("pt"))
+        docs.where(F.col(text_col).isNotNull())
         .select(
             F.explode(
-                F.split(
-                    F.expr("substring(pt, 2, greatest(length(pt) - 2, 0))"),
-                    SYM + SYM,
-                )
+                F.regexp_extract_all(flat, F.lit("(?s)."), F.lit(0))
             ).alias("sym")
         )
         .where(F.length("sym") > 0)
@@ -395,11 +399,14 @@ def bpe_train_merges(
     DuckDB's default VARCHAR order both implement, so the DuckDB oracle
     replays the exact same merge sequence.
     """
-    # LAZY localCheckpoints (r06): each round's state materializes inside
-    # that round's pair-count job instead of as its own eager job — one
-    # driver round-trip per merge instead of two, same lineage truncation
-    # (the checkpoint is forced by the very next action, so the plan never
-    # nests more than one replace).
+    # ONE job per round (r06): the per-round argmax is a single min_by
+    # aggregate over the pair counts — struct ordering (-count, lhs, rhs)
+    # reproduces the old orderBy(desc count, asc lhs, asc rhs).limit(1)
+    # tie-break exactly, but as a plain hash aggregate whose full scan
+    # also materializes that round's LAZY localCheckpoint completely (a
+    # TakeOrdered limit(1) only partially materializes a lazy checkpoint
+    # and the deferred completion job then recomputes partitions — we
+    # measured 12.3s vs 2.3s for the 10-merge entry down that road).
     state = (
         docs.select(bpe_stream(F.col(text_col), merges=[]).alias("state"))
         .where(F.col("state").isNotNull())
@@ -409,12 +416,21 @@ def bpe_train_merges(
     for _ in range(num_merges):
         top = (
             _pair_counts(state)
-            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
+            .agg(
+                F.min_by(
+                    F.struct("lhs", "rhs", "pair_count"),
+                    F.struct(
+                        (-F.col("pair_count")).alias("nc"),
+                        F.col("lhs"),
+                        F.col("rhs"),
+                    ),
+                ).alias("m")
+            )
+            .select("m.*")
             .collect()
         )
-        if not top:  # corpus fully merged (or empty): nothing left to learn
-            break
+        if not top or top[0]["lhs"] is None:
+            break  # corpus fully merged (or empty): nothing left to learn
         a, b, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["pair_count"])
         merges.append((a, b, cnt))
         state = state.withColumn(

@@ -164,24 +164,31 @@ def perplexity_buckets(
     the corpus is never re-shuffled. NULL cross-entropy (empty docs)
     stays NULL."""
     from ndap_data_validator_spark.operators.stats import (
-        exact_percentiles_distributed,
+        exact_percentiles_plan,
     )
 
-    # the percentile pass and the returned frame both consume `scored` —
-    # materialize the doc-sized score frame once instead of re-running the
-    # token-explode scoring pipeline for each
-    scored = scored.localCheckpoint()
-    row = exact_percentiles_distributed(scored, ce_col, ps=cuts).first()
-    t1, t2 = row[1], row[2]
-    if t1 is None:  # no non-null scores: label column is all-NULL
-        return scored.withColumn(out_col, F.lit(None).cast("string"))
+    # the percentile chain and the returned frame both consume `scored` —
+    # checkpoint the doc-sized score frame once instead of re-running the
+    # token-explode scoring pipeline for each. LAZY checkpoint + IN-PLAN
+    # cuts (r06): the two percentile values ride the returned plan as a
+    # broadcast scalar row, so bucketing adds ZERO driver actions (was:
+    # one eager checkpoint job + an eager percentile chain).
+    scored = scored.localCheckpoint(eager=False)
+    plan = exact_percentiles_plan(scored, ce_col, ps=cuts)
+    cuts_df = plan.select(
+        F.col(plan.columns[1]).alias("__t1"),
+        F.col(plan.columns[2]).alias("__t2"),
+    )
     ce = F.col(ce_col)
-    return scored.withColumn(
-        out_col,
-        F.when(ce.isNull(), F.lit(None).cast("string"))
-        .when(ce <= F.lit(float(t1)), F.lit(labels[0]))
-        .when(ce <= F.lit(float(t2)), F.lit(labels[1]))
-        .otherwise(F.lit(labels[2])),
+    return scored.crossJoin(F.broadcast(cuts_df)).select(
+        *scored.columns,
+        # __t1 NULL ⇔ no non-null scores (the old all-NULL-label branch)
+        F.when(F.col("__t1").isNull(), F.lit(None).cast("string"))
+        .when(ce.isNull(), F.lit(None).cast("string"))
+        .when(ce <= F.col("__t1"), F.lit(labels[0]))
+        .when(ce <= F.col("__t2"), F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+        .alias(out_col),
     )
 
 

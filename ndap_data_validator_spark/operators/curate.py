@@ -110,6 +110,25 @@ def _score_threshold(df, score_col: str, keep_fraction: float) -> float:
     return float("-inf") if row[1] is None else float(row[1])
 
 
+def _score_threshold_plan(df, score_col: str, keep_fraction: float):
+    """LAZY twin of :func:`_score_threshold` (r06): the threshold as an
+    UNEXECUTED 1-row ``(__thr double)`` frame — crossJoin(broadcast(...))
+    it so the gate costs zero extra driver actions. Same arithmetic as the
+    eager twin (bit-identical threshold); the empty/all-null fallback
+    (-inf ⇒ keep everything) rides in-plan via coalesce."""
+    from ndap_data_validator_spark.operators.stats import (
+        exact_percentiles_plan,
+    )
+
+    p = min(max(1.0 - keep_fraction, 0.0), 1.0)
+    plan = exact_percentiles_plan(df, score_col, ps=(p,))
+    return plan.select(
+        F.coalesce(F.col(plan.columns[1]), F.lit(float("-inf"))).alias(
+            "__thr"
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,

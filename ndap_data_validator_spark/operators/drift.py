@@ -330,13 +330,20 @@ def _ks_from_counts(
 
 
 def _ks_agg_plan(
-    base_counts: DataFrame, num_range_partitions: int
+    base_counts: DataFrame,
+    num_range_partitions: int,
+    extra_aggs: list | None = None,
 ) -> DataFrame:
     """The LAZY distributed KS aggregate over per-value counts (the plan
     tools/dump_plans.py documents). Fully lazy — the [lo, hi] grid is a
     broadcast 1-row aggregate inside the plan, so callers pay ONE action.
     Both sides empty → one row with NULL n_a/n_b (callers map it to the
-    documented contract)."""
+    documented contract).
+
+    ``extra_aggs`` (r06): additional aggregate Columns evaluated over the
+    same per-value rows (columns ``v``, ``a_cnt``, ``b_cnt`` are in
+    scope) — lets a caller fold e.g. fixed-grid histogram sums into the
+    SAME single job instead of a second serial pass over the counts."""
     # equal-width range id — even a skewed value distribution only unbalances
     # slice sizes, never correctness (production could swap in approxQuantile
     # boundaries for balance). The lo==hi degenerate range is patched
@@ -360,10 +367,19 @@ def _ks_agg_plan(
         F.sum("a_cnt").alias("pa"), F.sum("b_cnt").alias("pb")
     )
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    # grand totals ride the SAME ≤num_range_partitions-row offsets frame as
+    # full-range window sums (r06): the former separate ``totals.agg``
+    # broadcast was one more serial broadcast stage per KS call AND
+    # recomputed the totals subtree.
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = totals.select(
         "pid",
         F.coalesce(F.sum("pa").over(w_off), F.lit(0)).alias("off_a"),
         F.coalesce(F.sum("pb").over(w_off), F.lit(0)).alias("off_b"),
+        F.sum("pa").over(w_all).alias("n_a"),
+        F.sum("pb").over(w_all).alias("n_b"),
     )
 
     w_local = (
@@ -374,14 +390,16 @@ def _ks_agg_plan(
     cdf = (
         counts.join(F.broadcast(offsets), "pid")
         .select(
+            "v",
+            "a_cnt",
+            "b_cnt",
             (F.sum("a_cnt").over(w_local) + F.col("off_a")).alias("ca"),
             (F.sum("b_cnt").over(w_local) + F.col("off_b")).alias("cb"),
+            "n_a",
+            "n_b",
         )
     )
-    grand = totals.agg(
-        F.sum("pa").alias("n_a"), F.sum("pb").alias("n_b")
-    )
-    return cdf.crossJoin(F.broadcast(grand)).agg(
+    return cdf.agg(
         F.max(
             F.abs(
                 F.col("ca").cast("double") / F.col("n_a")
@@ -390,6 +408,7 @@ def _ks_agg_plan(
         ).alias("ks"),
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
+        *(extra_aggs or []),
     )
 
 

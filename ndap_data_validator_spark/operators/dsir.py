@@ -137,8 +137,10 @@ def fit_importance_weights(
     # scorer, and each broadcast would otherwise re-run the whole fit:
     # two explode→groupBy passes over BOTH corpora per consumer. At 100 TB
     # that re-explodes the raw token stream three times for one fit; the
-    # checkpoint caps it at exactly one pass.
-    joined = joined.localCheckpoint()
+    # checkpoint caps it at exactly one pass. LAZY (r06): the first
+    # consumer's job materializes it — an eager checkpoint paid one extra
+    # driver round-trip purely for scheduling.
+    joined = joined.localCheckpoint(eager=False)
     a, b = F.lit(float(alpha)), F.lit(float(alpha * n_buckets))
     consts = joined.agg(
         F.sum("cnt_t").alias("total_target"),
@@ -255,7 +257,9 @@ def dsir_select(
     order-statistic plan (no all-values buffer, no global rank window) —
     ties at the threshold are kept, so the selected count is ≥ the target
     (deterministically, in every engine)."""
-    from ndap_data_validator_spark.operators.curate import _score_threshold
+    from ndap_data_validator_spark.operators.curate import (
+        _score_threshold_plan,
+    )
 
     weights, consts = fit_importance_weights(
         target, raw, text_col, n_buckets, alpha, seed, hash_fn
@@ -264,11 +268,18 @@ def dsir_select(
         raw, weights, consts, text_col, id_col, n_buckets, seed, hash_fn,
         gumbel_seed, round_digits,
     )
-    # The threshold pass and the returned frame both consume `scored`;
+    # The threshold chain and the returned frame both consume `scored`;
     # without a materialization the whole fit+score pipeline runs twice.
     # localCheckpoint stores the doc-sized (id, log_w, priority) frame —
     # far smaller than the token stream it derives from — which is exactly
     # what a production two-pass (threshold, then filter) would persist.
-    scored = scored.localCheckpoint()
-    t = _score_threshold(scored, "priority", keep_fraction)
-    return scored.withColumn("keep", F.col("priority") >= F.lit(t))
+    # LAZY checkpoint + IN-PLAN threshold (r06): the exact-percentile cut
+    # rides the returned plan as a broadcast scalar, so end-to-end DSIR is
+    # ZERO driver actions until the caller's own (was: two eager
+    # checkpoints + an eager percentile chain).
+    scored = scored.localCheckpoint(eager=False)
+    thr = _score_threshold_plan(scored, "priority", keep_fraction)
+    return scored.crossJoin(F.broadcast(thr)).select(
+        *scored.columns,
+        (F.col("priority") >= F.col("__thr")).alias("keep"),
+    )

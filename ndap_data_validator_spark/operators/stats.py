@@ -146,8 +146,6 @@ def exact_percentiles_distributed(
     """
     import math
 
-    from pyspark.sql import Window
-
     from ndap_data_validator_spark.session import literal_frame
 
     spark = df.sparkSession
@@ -159,68 +157,7 @@ def exact_percentiles_distributed(
     )
     counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).persist()
     try:
-        # the [lo, hi] range grid stays IN the plan as a broadcast 1-row
-        # aggregate (VERDICT r04 #4: a separate min/max .first() made every
-        # call a 2-action round-trip; at sf0.1 that fixed overhead dominated
-        # except_diff/exact_percentiles). The lo==hi degenerate range is
-        # patched column-side for the same reason.
-        mm = counts.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).select(
-            "lo",
-            F.when(F.col("hi") == F.col("lo"), F.col("lo") + 1.0)
-            .otherwise(F.col("hi"))
-            .alias("hi"),
-        )
-        pid = F.width_bucket(
-            F.col("v"), F.col("lo"), F.col("hi"), F.lit(num_range_partitions)
-        )
-        tagged = (
-            counts.crossJoin(F.broadcast(mm)).withColumn("pid", pid).drop("lo", "hi")
-        )
-        totals = tagged.groupBy("pid").agg(F.sum("cnt").alias("pc"))
-        w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-        # n (the global count) rides the SAME ≤num_range_partitions-row
-        # offsets frame as a full-range window sum (r06): the former
-        # separate ``totals.agg(sum)`` broadcast was one more serial
-        # broadcast stage per call AND recomputed the totals subtree.
-        w_all = Window.orderBy("pid").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        offsets = totals.select(
-            "pid",
-            F.coalesce(F.sum("pc").over(w_off), F.lit(0)).alias("off"),
-            F.sum("pc").over(w_all).alias("n"),
-        )
-        w_local = (
-            Window.partitionBy("pid")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        withn = tagged.join(F.broadcast(offsets), "pid").select(
-            "v",
-            (F.sum("cnt").over(w_local) + F.col("off")).alias("c_end"),
-            "cnt",
-            "n",
-        ).withColumn("c_start", F.col("c_end") - F.col("cnt"))
-        aggs = []
-        for p, name in zip(ps, names):
-            r = (F.col("n").cast("double") - 1.0) * F.lit(float(p))
-            ilo, ihi = F.floor(r), F.ceil(r)
-            aggs.append(
-                F.max(
-                    F.when(
-                        (F.col("c_start") <= ilo) & (ilo < F.col("c_end")), F.col("v")
-                    )
-                ).alias(f"__lo_{name}")
-            )
-            aggs.append(
-                F.max(
-                    F.when(
-                        (F.col("c_start") <= ihi) & (ihi < F.col("c_end")), F.col("v")
-                    )
-                ).alias(f"__hi_{name}")
-            )
-        # ONE action for the whole computation (bounds, ranks, order stats)
-        row = withn.agg(F.first("n").alias("n"), *aggs).first()
+        row = _percentile_stat_plan(counts, ps, names, num_range_partitions).first()
         n = row["n"]
         if n is None:  # no non-null values: explicit all-null row
             return literal_frame(spark, [(column, *([None] * len(ps)))], schema)
@@ -233,6 +170,126 @@ def exact_percentiles_distributed(
         return literal_frame(spark, [(column, *out)], schema)
     finally:
         counts.unpersist()
+
+
+def exact_percentiles_plan(
+    df: DataFrame,
+    column: str,
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+    num_range_partitions: int = 32,
+) -> DataFrame:
+    """LAZY twin of :func:`exact_percentiles_distributed` (r06): the same
+    order-statistic machinery, but returned as an UNEXECUTED 1-row plan
+    ``(column, p50, …)`` with the linear interpolation done in-plan — so a
+    caller that needs the percentile as a *scalar inside another query*
+    (split medians, keep-fraction thresholds, bucket cuts) can
+    ``crossJoin(broadcast(...))`` it and pay ZERO extra driver actions:
+    the whole pipeline collapses into the consumer's single job. The
+    per-value counts subtree is shared across the plan's broadcast chains
+    via a lazy ``localCheckpoint`` (first use materializes, later uses
+    reuse; the block is released by the ContextCleaner when the plan is
+    garbage-collected). Arithmetic matches the eager twin op-for-op
+    (same doubles, same order), so both produce bit-identical values."""
+    names = [("p%g" % (p * 100)).replace(".", "_") for p in ps]
+    vals = df.where(F.col(column).isNotNull()).select(
+        F.col(column).cast("double").alias("v")
+    )
+    counts = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    row_df = _percentile_stat_plan(counts, ps, names, num_range_partitions)
+    sel = [F.lit(column).alias("column")]
+    for p, name in zip(ps, names):
+        r = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(float(p))
+        frac = r - F.floor(r)
+        val = F.col(f"__lo_{name}") + frac * (
+            F.col(f"__hi_{name}") - F.col(f"__lo_{name}")
+        )
+        sel.append(
+            F.when(F.col("n").isNull(), F.lit(None).cast("double"))
+            .otherwise(val)
+            .alias(name)
+        )
+    return row_df.select(*sel)
+
+
+def _percentile_stat_plan(
+    counts: DataFrame,
+    ps: tuple[float, ...],
+    names: list[str],
+    num_range_partitions: int,
+) -> DataFrame:
+    """The shared LAZY 1-row order-statistic aggregate over a per-value
+    counts frame: ``(n, __lo_<p>, __hi_<p>, …)`` where __lo/__hi are the
+    floor/ceil((n−1)p) order statistics. Callers interpolate (driver-side
+    or in-plan)."""
+    from pyspark.sql import Window
+
+    # the [lo, hi] range grid stays IN the plan as a broadcast 1-row
+    # aggregate (VERDICT r04 #4: a separate min/max .first() made every
+    # call a 2-action round-trip; at sf0.1 that fixed overhead dominated
+    # except_diff/exact_percentiles). The lo==hi degenerate range is
+    # patched column-side for the same reason.
+    mm = counts.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).select(
+        "lo",
+        F.when(F.col("hi") == F.col("lo"), F.col("lo") + 1.0)
+        .otherwise(F.col("hi"))
+        .alias("hi"),
+    )
+    pid = F.width_bucket(
+        F.col("v"), F.col("lo"), F.col("hi"), F.lit(num_range_partitions)
+    )
+    tagged = (
+        counts.crossJoin(F.broadcast(mm)).withColumn("pid", pid).drop("lo", "hi")
+    )
+    totals = tagged.groupBy("pid").agg(F.sum("cnt").alias("pc"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    # n (the global count) rides the SAME ≤num_range_partitions-row
+    # offsets frame as a full-range window sum (r06): the former
+    # separate ``totals.agg(sum)`` broadcast was one more serial
+    # broadcast stage per call AND recomputed the totals subtree.
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("pc").over(w_off), F.lit(0)).alias("off"),
+        F.sum("pc").over(w_all).alias("n"),
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    withn = tagged.join(F.broadcast(offsets), "pid").select(
+        "v",
+        (F.sum("cnt").over(w_local) + F.col("off")).alias("c_end"),
+        "cnt",
+        "n",
+    ).withColumn("c_start", F.col("c_end") - F.col("cnt"))
+    aggs = []
+    for p, name in zip(ps, names):
+        r = (F.col("n").cast("double") - 1.0) * F.lit(float(p))
+        ilo, ihi = F.floor(r), F.ceil(r)
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("c_start") <= ilo) & (ilo < F.col("c_end")), F.col("v")
+                )
+            ).alias(f"__lo_{name}")
+        )
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("c_start") <= ihi) & (ihi < F.col("c_end")), F.col("v")
+                )
+            ).alias(f"__hi_{name}")
+        )
+    # ONE aggregate row for the whole computation (bounds, ranks,
+    # order stats) — callers run the single action
+    return withn.agg(F.first("n").alias("n"), *aggs)
 
 
 def merge_hll_to_global(stats: DataFrame) -> DataFrame:
