@@ -172,7 +172,13 @@ _DERIVED_ASSIGNMENTS = [
 
 
 def _derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "events").selectExpr(*_SPARK_DERIVED_EXPRS)
+    # r06: spread under the CASE/coercion projection — the bench parquet is
+    # single-row-group, so the regex/label-heavy consumers (validation
+    # report, time census, coercion report) otherwise aggregate the whole
+    # events table in ONE scan task (guide §2.5 input skew)
+    return _spread(_t(spark, sf_dir, "events")).selectExpr(
+        *_SPARK_DERIVED_EXPRS
+    )
 
 
 # ------------------------------------------------------------------ queries
@@ -513,9 +519,9 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition, no driver collect) as long-form scope='<priority>'
     rows next to the scope='dataset' row."""
     from ndap_data_validator_spark.operators.drift import (
-        _ks_agg_plan,
         categorical_drift,
         drift_report_partitioned,
+        ks_exact_from_counts,
         two_sample_value_counts,
     )
 
@@ -524,20 +530,23 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reduction — both histograms derive from a width_bucket rollup of the
     # (cached, |distinct values|-sized) counts frame and the exact KS runs
     # its range-slice plan over the same cache (r05; the r4 entry scanned
-    # orders three times).
+    # orders three times). r06: the scan is projected + spread first — the
+    # per-(priority, value) hash aggregate barely reduces near-unique
+    # prices, so its map side is the bulk of the job and the
+    # single-row-group bench parquet otherwise runs it in 2 tasks.
     counts_pg = two_sample_value_counts(
-        o,
+        _spread(o.select("o_totalprice", "o_orderdate", "o_orderpriority")),
         "o_totalprice",
         F.year("o_orderdate") <= 1997,
         group_cols=["o_orderpriority"],
     ).persist()
-    # the ungrouped per-value counts every numeric leg consumes are a
-    # cheap re-aggregate of the cached per-(priority, value) reduction —
-    # the priority dimension rides the SAME single scan for free
+    # the ungrouped per-value counts the exact KS consumes are a cheap
+    # re-aggregate of the cached per-(priority, value) reduction — the
+    # priority dimension rides the SAME single scan for free
     counts = (
         counts_pg.groupBy("v")
         .agg(F.sum("a_cnt").alias("a_cnt"), F.sum("b_cnt").alias("b_cnt"))
-        .persist()  # both numeric actions read it; don't re-shuffle twice
+        .persist()  # the KS plan references it twice (grid + CDF chains)
     )
     # The categorical block is an independent reduction (different column,
     # own scan) with no data dependency on the numeric legs — submit its
@@ -546,41 +555,38 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four back-to-back driver round-trips of pure fixed cost at sf0.1).
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=3)
     cat_future = pool.submit(
         lambda: categorical_drift(
             o, "o_orderpriority", F.year("o_orderdate") <= 1997
         ).first()
     )
     try:
-        # r06: the fixed-grid histograms FOLD INTO the exact-KS aggregate
-        # as extra sum(when(bin=i, cnt)) columns over the same per-value
-        # rows — ONE job returns ks + n_a/n_b + both 22-bin histograms
-        # (was: a serial histogram collect, then a separate KS job).
+        # PER-PRIORITY histograms FIRST (one bin rollup over the cached
+        # per-(priority, value) reduction materializes both caches; 110
+        # rows to the driver), then the exact KS runs while categorical is
+        # still in flight. The dataset histograms are the integer sums of
+        # the per-priority ones — zero extra passes. (r06 measured the
+        # tempting alternative — folding the histograms into the KS
+        # aggregate as 44 sum(when(bin=i)) columns — at +4.8s: each
+        # conditional aggregate re-evaluates width_bucket per row, and the
+        # merge also serializes the KS behind work the pool overlaps.)
         b = F.width_bucket(
             F.col("v"), F.lit(_DRIFT_LO), F.lit(_DRIFT_HI), F.lit(_DRIFT_BINS)
         )
-        n_hist_bins = _DRIFT_BINS + 2  # underflow 0 .. overflow n_bins+1
-        extra = []
-        for i in range(n_hist_bins):
-            extra.append(
-                F.sum(F.when(b == i, F.col("a_cnt"))).alias(f"__ha_{i}")
-            )
-            extra.append(
-                F.sum(F.when(b == i, F.col("b_cnt"))).alias(f"__hb_{i}")
-            )
-        krow = _ks_agg_plan(counts, 32, extra).first()
-        if krow["n_a"] is None:  # both sides empty (can't happen on orders)
-            ks_exact = 0.0
-        else:
-            ks_exact = (
-                krow["ks"]
-                if krow["n_a"] > 0 and krow["n_b"] > 0
-                else None
-            )
+        hrows = counts_pg.groupBy(
+            F.col("o_orderpriority").alias("prio"), b.alias("bin_id")
+        ).agg(
+            F.sum("a_cnt").alias("a"), F.sum("b_cnt").alias("b")
+        ).collect()
+        ha: dict[int, int] = {}
+        hb: dict[int, int] = {}
+        for row_ in hrows:
+            i = int(row_["bin_id"])
+            ha[i] = ha.get(i, 0) + int(row_["a"])
+            hb[i] = hb.get(i, 0) + int(row_["b"])
 
-        def grid(key):
-            pref = "__ha_" if key == "a" else "__hb_"
+        def grid(d):
             return {
                 "o_totalprice": {
                     "lo": _DRIFT_LO,
@@ -588,34 +594,58 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_bins": _DRIFT_BINS,
                     # zero-count bins stay ABSENT, exactly like the
                     # per-side histogram() aggregates they replace
-                    "counts": {
-                        i: int(krow[f"{pref}{i}"])
-                        for i in range(n_hist_bins)
-                        if krow[f"{pref}{i}"]
-                    },
+                    "counts": {i: c for i, c in d.items() if c},
                 }
             }
 
-        (r,) = drift_mod.compare(grid("a"), grid("b"))
-        # per-partition leg (late r05): the ≤1997 histogram (already on
-        # the driver from the shared reduction) is the baseline snapshot,
-        # and the CURRENT side is the cached per-(priority, value)
-        # reduction itself via drift_report_partitioned's weight= path —
-        # the priority leg rescans NOTHING. Its job overlaps the exact-KS
-        # action on the worker pool; the ≤|priorities|-row result is
-        # collected and assembled into the single literal frame below
-        # (VERDICT r04 #1 pattern: no lit-key join of tiny frames).
+        (r,) = drift_mod.compare(grid(ha), grid(hb))
+        # per-partition leg (late r05): the ≤1997 histogram is the
+        # baseline snapshot and the CURRENT side is now the PRE-BUCKETED
+        # per-(priority, bin) rollup itself, re-entered as a ≤110-row
+        # single-slice literal of bin-representative values (r06;
+        # drift_report_partitioned's first step is width_bucket on the
+        # baseline grid, so a representative value inside each bin — and
+        # sentinels beyond the edges for under/overflow — reproduces the
+        # exact same binned counts). The leg's whole pipeline is
+        # priority×bin-sized; it no longer re-aggregates the cached
+        # 1.5M-row counts, and its job overlaps the exact-KS action.
+        width = (_DRIFT_HI - _DRIFT_LO) / _DRIFT_BINS
+
+        def rep(i: int) -> float:
+            if i == 0:
+                return _DRIFT_LO - 1.0
+            if i == _DRIFT_BINS + 1:
+                return _DRIFT_HI + 1.0
+            return _DRIFT_LO + (i - 0.5) * width
+
+        part_in = _literal_df(
+            spark,
+            [
+                (row_["prio"], rep(int(row_["bin_id"])), int(row_["b"]))
+                for row_ in hrows
+                if row_["b"]
+            ],
+            "o_orderpriority string, v double, b_cnt long",
+        )
         part_future = pool.submit(
             lambda: drift_report_partitioned(
-                counts_pg.where(F.col("b_cnt") > 0),
+                part_in,
                 "o_orderpriority",
-                {"v": grid("a")["o_totalprice"]},
+                {"v": grid(ha)["o_totalprice"]},
                 weight="b_cnt",
             ).collect()
+        )
+        # the exact KS reads the same (already materialized) cache as the
+        # priority leg — run the two jobs concurrently (r06: its offsets
+        # window now also carries the grand totals, one broadcast stage
+        # fewer per call)
+        ks_future = pool.submit(
+            lambda: ks_exact_from_counts(counts).first()["ks"]
         )
         part_rows = sorted(
             part_future.result(), key=lambda p: p["partition_id"]
         )
+        ks_exact = ks_future.result()
         # categorical drift (NEW r05) on the same split, over the
         # categorical column: per-category two-sample counts → smoothed PSI
         # + two-sample chi-square, all Catalyst arithmetic on the
@@ -739,8 +769,12 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH bucket assignment (the
     precomputable index column)."""
     planes = hyperplanes(_ANN_DIM, _ANN_PLANES, seed=42)
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # r06: spread — the 8×64-dim dot products per row otherwise run in the
+    # single-row-group scan's ONE task at bench SFs (guide §2.5)
+    emb = _spread(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     return emb.select("vec_id", lsh_signature(F.col("v"), planes).alias("bucket"))
 
@@ -1312,7 +1346,9 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contaminated",
     )
 
-    fdocs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    fdocs = _spread(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    )
     fbench = fdocs.where(F.pmod(F.col("doc_id"), F.lit(11)) == 0).select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" eval suite suffix")).alias("text"),
@@ -1375,8 +1411,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_near_duplicates,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    # r06: spread — signature dot products and bucket pairing otherwise
+    # hang off the single-row-group scan's ONE task at bench SFs
+    emb = _spread(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
     )
     clone = emb.where(F.col("vec_id") == 0).withColumn(
         "vec_id", F.lit(100_000).cast("long")
@@ -1413,10 +1453,13 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_percentiles_plan,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
-    # r06: the LAZY plan twin — interpolation in-plan, so the whole entry
-    # is ONE action instead of an eager multi-broadcast prefix plus a
-    # literal-frame write (same arithmetic op-for-op, bit-identical).
+    # r06: spread the projected value column (the per-value-counts hash
+    # aggregate barely reduces near-unique doubles, so its map side is the
+    # whole cost — 6 effective scan tasks otherwise); then the LAZY plan
+    # twin — interpolation in-plan, so the whole entry is ONE action
+    # instead of an eager multi-broadcast prefix plus a literal-frame
+    # write (same arithmetic op-for-op, bit-identical).
+    li = _spread(_t(spark, sf_dir, "lineitem").select("l_extendedprice"))
     res = exact_percentiles_plan(
         li, "l_extendedprice", ps=(0.5, 0.95, 0.99)
     )
@@ -1502,7 +1545,13 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns aligned as (method, dim, detail, value); except rows carry
     dim=event_type / detail=bucket, reconcile rows dim=metric /
     detail=column."""
-    e = _t(spark, sf_dir, "events")
+    # r06: project + spread — events is ONE effective scan task at bench
+    # SFs, and the median's per-value counts plus both exceptAll legs all
+    # hash-aggregate over it (the spread exchange is shared by every leg
+    # inside the single job)
+    e = _spread(
+        _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    )
     # split point = exact median via the DISTRIBUTED order-statistic plan
     # (stats.py:118) — NOT single-group percentile(), whose aggregation
     # buffer accumulates every event_id in one task (the anti-pattern
@@ -1680,7 +1729,11 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       200+ batch plus the clone joins it and reports every new doc with
       its lowest matching historical id and the signature-agreement
       estimate (score = matching-minhash fraction, is_unique flag)."""
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    # r06: spread — shingling + 16 minhashes per shingle otherwise run in
+    # the single-row-group scan's ONE task at bench SFs
+    d = _spread(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    )
     clone = d.where(F.col("doc_id") == 0).withColumn(
         "doc_id", F.lit(1_000_000).cast("long")
     )
@@ -1731,7 +1784,9 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     lg_k=16 gives ~0.4% standard error — 2% is a ≥5σ bound, deterministic
     in practice. The exact side is the VERIFICATION harness only;
     production consumes the estimate (that's the point of the sketch)."""
-    e = _t(spark, sf_dir, "events")
+    # r06: spread — the per-row HLL sketch updates (lg_k=16, string casts)
+    # otherwise run in the scan's ONE effective task at bench SFs
+    e = _spread(_t(spark, sf_dir, "events").select("user_id", "event_type"))
     st = column_stats(
         e, ["user_id", "event_type"], partition_by=(F.col("user_id") % 8),
         hll_lg_k=16,
@@ -1803,8 +1858,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-clone fixtures."""
     from ndap_data_validator_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    # r06: spread — cell assignment is 8 cosines × 64 dims per row, all in
+    # the single-row-group scan's ONE task at bench SFs otherwise
+    emb = _spread(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
     )
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=4,
@@ -1820,8 +1879,12 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity-cutoff predicate the former knn_threshold entry verified."""
     from ndap_data_validator_spark.operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    # r06: spread — 5 exact cosines × 64 dims per corpus row otherwise run
+    # in the single-row-group scan's ONE task at bench SFs
+    emb = _spread(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
     )
     return brute_force_topk(
         emb, emb.where(F.col("vec_id") < 5), k=5, round_digits=4
@@ -1842,9 +1905,11 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_lm,
     )
 
+    # r06: spread the filtered slice — LM tokenization (explode + hash per
+    # token) otherwise runs in the single-row-group scan's ONE task
     d = _t(spark, sf_dir, "documents")
-    ref = d.where(F.col("doc_id") < 400).select("doc_id", "text")
-    docs = d.where(F.col("doc_id") < 300).select("doc_id", "text")
+    ref = _spread(d.where(F.col("doc_id") < 400).select("doc_id", "text"))
+    docs = ref.where(F.col("doc_id") < 300)
     lm, consts = unigram_lm(ref, alpha=0.5)
     ce = doc_cross_entropy(docs, lm, consts, round_digits=6)
     return perplexity_buckets(ce)
@@ -2120,12 +2185,16 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_quality_classifier,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    mangle = F.regexp_replace(F.col("text"), "[aeiou]", "q")
-    pos = d.where(F.col("doc_id") < 400).select(
-        "doc_id", "text", F.lit(True).alias("label")
+    # r06: spread the ≤400-doc slice — the vowel-mangle regex + hashed
+    # tokenization otherwise run in the single-row-group scan's ONE task
+    d = _spread(
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select("doc_id", "text")
     )
-    neg = d.where(F.col("doc_id") < 400).select(
+    mangle = F.regexp_replace(F.col("text"), "[aeiou]", "q")
+    pos = d.select("doc_id", "text", F.lit(True).alias("label"))
+    neg = d.select(
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
         mangle.alias("text"),
         F.lit(False).alias("label"),

@@ -330,20 +330,13 @@ def _ks_from_counts(
 
 
 def _ks_agg_plan(
-    base_counts: DataFrame,
-    num_range_partitions: int,
-    extra_aggs: list | None = None,
+    base_counts: DataFrame, num_range_partitions: int
 ) -> DataFrame:
     """The LAZY distributed KS aggregate over per-value counts (the plan
     tools/dump_plans.py documents). Fully lazy — the [lo, hi] grid is a
     broadcast 1-row aggregate inside the plan, so callers pay ONE action.
     Both sides empty → one row with NULL n_a/n_b (callers map it to the
-    documented contract).
-
-    ``extra_aggs`` (r06): additional aggregate Columns evaluated over the
-    same per-value rows (columns ``v``, ``a_cnt``, ``b_cnt`` are in
-    scope) — lets a caller fold e.g. fixed-grid histogram sums into the
-    SAME single job instead of a second serial pass over the counts."""
+    documented contract)."""
     # equal-width range id — even a skewed value distribution only unbalances
     # slice sizes, never correctness (production could swap in approxQuantile
     # boundaries for balance). The lo==hi degenerate range is patched
@@ -390,9 +383,6 @@ def _ks_agg_plan(
     cdf = (
         counts.join(F.broadcast(offsets), "pid")
         .select(
-            "v",
-            "a_cnt",
-            "b_cnt",
             (F.sum("a_cnt").over(w_local) + F.col("off_a")).alias("ca"),
             (F.sum("b_cnt").over(w_local) + F.col("off_b")).alias("cb"),
             "n_a",
@@ -408,7 +398,6 @@ def _ks_agg_plan(
         ).alias("ks"),
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
-        *(extra_aggs or []),
     )
 
 
