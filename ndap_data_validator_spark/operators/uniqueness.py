@@ -24,7 +24,9 @@ def duplicate_keys(df: DataFrame, key_columns: list[str]) -> DataFrame:
     )
 
 
-def duplicate_keys_hashed(df: DataFrame, key_columns: list[str]) -> DataFrame:
+def duplicate_keys_hashed(
+    df: DataFrame, key_columns: list[str], max_exact_hashes: int = 100_000
+) -> DataFrame:
     """Scale path for duplicate_keys: two-phase with an 8-byte hash key.
 
     Phase 1 shuffles only ``xxhash64(keys)`` + count — a fraction of the
@@ -36,10 +38,19 @@ def duplicate_keys_hashed(df: DataFrame, key_columns: list[str]) -> DataFrame:
     NULL handling matches duplicate_keys: xxhash64 folds NULLs into the
     hash (it hashes the null marker), and phase 2 groups them exactly.
 
-    The suspicious set is NOT force-broadcast: it is tiny only when
-    duplicates are rare, and on duplicate-heavy data it is O(distinct
-    duplicated keys) — AQE picks broadcast vs shuffle from the actual
-    runtime size, so the plan degrades gracefully instead of OOMing.
+    r06 phase-2 shape (guide §3.2 — pre-filter the big side): when the
+    suspicious set is ≤ ``max_exact_hashes`` it is collected (bounded
+    driver cost: 8 bytes/hash) and applied as a scan-level ``isin`` filter
+    — a semi join here planned as a full-width shuffle + sort of the big
+    side against a ~hundreds-row aggregate (measured ~3× the cost of the
+    whole check at 4M rows; AQE's broadcast replan fires only after the
+    big side's shuffle map stage is already submitted). On duplicate-heavy
+    data the collect aborts at the cap and falls back to the original
+    left-semi join, where AQE picks the strategy from the runtime size —
+    graceful degradation instead of an unbounded driver set.
+
+    Phase 1 runs as one job at CALL time in the isin shape (the collect);
+    callers holding the returned frame lazy pay that job once.
     """
     h = F.xxhash64(*[F.col(c) for c in key_columns])
     suspicious = (
@@ -49,7 +60,14 @@ def duplicate_keys_hashed(df: DataFrame, key_columns: list[str]) -> DataFrame:
         .where(F.col("__c") > 1)
         .select("__h")
     )
-    candidates = df.join(suspicious, h == F.col("__h"), "left_semi")
+    rows = suspicious.limit(max_exact_hashes + 1).collect()
+    if len(rows) <= max_exact_hashes:
+        hs = [r["__h"] for r in rows]
+        # empty set → no duplicates anywhere: a constant-false filter
+        # keeps the output schema without scanning anything
+        candidates = df.where(h.isin(hs) if hs else F.lit(False))
+    else:
+        candidates = df.join(suspicious, h == F.col("__h"), "left_semi")
     return (
         candidates.groupBy(*key_columns)
         .agg(F.count(F.lit(1)).alias("dup_count"))
