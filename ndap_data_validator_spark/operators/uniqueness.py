@@ -38,19 +38,23 @@ def duplicate_keys_hashed(
     NULL handling matches duplicate_keys: xxhash64 folds NULLs into the
     hash (it hashes the null marker), and phase 2 groups them exactly.
 
-    r06 phase-2 shape (guide §3.2 — pre-filter the big side): when the
-    suspicious set is ≤ ``max_exact_hashes`` it is collected (bounded
-    driver cost: 8 bytes/hash) and applied as a scan-level ``isin`` filter
-    — a semi join here planned as a full-width shuffle + sort of the big
-    side against a ~hundreds-row aggregate (measured ~3× the cost of the
-    whole check at 4M rows; AQE's broadcast replan fires only after the
-    big side's shuffle map stage is already submitted). On duplicate-heavy
-    data the collect aborts at the cap and falls back to the original
-    left-semi join, where AQE picks the strategy from the runtime size —
-    graceful degradation instead of an unbounded driver set.
+    r06 phase-2 shape (guide §3.2 — pre-filter the big side): the
+    suspicious set is collected when ≤ ``max_exact_hashes`` (bounded
+    driver cost: 8 bytes/hash) and re-entered as a single-slice literal
+    frame under an EXPLICIT broadcast semi join. Without the collect the
+    planner sees an aggregate of unknown size and plans a full-width
+    shuffle + sort of the big side (measured ~3× the cost of the whole
+    check at 4M rows; AQE's broadcast replan fires only after the big
+    side's shuffle map stage is already submitted) — and an ``isin`` over
+    the collected set is no better (thousands of literal children defeat
+    codegen; measured 5.8s vs 1.5s for the broadcast join on the same
+    window). On duplicate-heavy data the collect aborts at the cap and
+    falls back to the original left-semi join, where AQE picks the
+    strategy from the runtime size — graceful degradation instead of an
+    unbounded driver set.
 
-    Phase 1 runs as one job at CALL time in the isin shape (the collect);
-    callers holding the returned frame lazy pay that job once.
+    Phase 1 runs as one job at CALL time in the collected shape; callers
+    holding the returned frame lazy pay that job once.
     """
     h = F.xxhash64(*[F.col(c) for c in key_columns])
     suspicious = (
@@ -61,11 +65,19 @@ def duplicate_keys_hashed(
         .select("__h")
     )
     rows = suspicious.limit(max_exact_hashes + 1).collect()
-    if len(rows) <= max_exact_hashes:
-        hs = [r["__h"] for r in rows]
-        # empty set → no duplicates anywhere: a constant-false filter
-        # keeps the output schema without scanning anything
-        candidates = df.where(h.isin(hs) if hs else F.lit(False))
+    if not rows:
+        # no duplicates anywhere: a constant-false filter keeps the
+        # output schema without scanning anything
+        candidates = df.where(F.lit(False))
+    elif len(rows) <= max_exact_hashes:
+        from ndap_data_validator_spark.session import literal_frame
+
+        lit = literal_frame(
+            df.sparkSession, [(r["__h"],) for r in rows], "__h long"
+        )
+        candidates = df.join(
+            F.broadcast(lit), h == F.col("__h"), "left_semi"
+        )
     else:
         candidates = df.join(suspicious, h == F.col("__h"), "left_semi")
     return (
