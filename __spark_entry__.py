@@ -1790,9 +1790,13 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     lg_k=16 gives ~0.4% standard error — 2% is a ≥5σ bound, deterministic
     in practice. The exact side is the VERIFICATION harness only;
     production consumes the estimate (that's the point of the sketch)."""
-    # r06: spread — the per-row HLL sketch updates (lg_k=16, string casts)
-    # otherwise run in the scan's ONE effective task at bench SFs
-    e = _spread(_t(spark, sf_dir, "events").select("user_id", "event_type"))
+    # projection only — NO spread here (r06 measured it at ~2×): lg_k=16
+    # sketches are 64 KB each, so a 32-way spread turns one single-task
+    # sketch per (partition, column) into 32 partial sketches plus an
+    # exchange and a merge; the per-row update cost it parallelizes is
+    # smaller than the merge it creates. The countDistinct leg's Expand
+    # already parallelizes across the shuffle.
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type")
     st = column_stats(
         e, ["user_id", "event_type"], partition_by=(F.col("user_id") % 8),
         hll_lg_k=16,

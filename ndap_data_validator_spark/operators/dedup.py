@@ -124,11 +124,17 @@ def _bucket_pairs(
     (anchor = min id, paired with every other member) — O(n) per bucket,
     preserving connectivity for near-dup clustering. Bucket sizes come from
     one aggregate on the same band key the join shuffles on."""
+    from pyspark.sql import Window
+
     a_id, b_id = id_col_out
-    stats = banded.groupBy(*bucket_cols).agg(
-        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__anchor")
-    )
-    tagged = banded.join(stats, on=bucket_cols)
+    # bucket size + anchor as WINDOW aggregates over the same bucket key
+    # the self-join shuffles on (r06): the former groupBy+join pair cost
+    # two extra exchanges; the window establishes the hash partitioning
+    # once and the join below reuses it (guide §2.4).
+    w = Window.partitionBy(*bucket_cols)
+    tagged = banded.withColumn(
+        "__n", F.count(F.lit(1)).over(w)
+    ).withColumn("__anchor", F.min(id_col).over(w))
     small = tagged.where(F.col("__n") <= max_bucket_size)
     left = small.select(F.col(id_col).alias(a_id), *bucket_cols)
     right = small.select(F.col(id_col).alias(b_id), *bucket_cols)

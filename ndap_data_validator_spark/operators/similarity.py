@@ -438,16 +438,26 @@ def embedding_near_duplicates(
     cands = per_table[0]
     for other in per_table[1:]:
         cands = cands.unionByName(other)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if n_tables > 1:
+        # single-table candidates are already distinct (_bucket_pairs ends
+        # in one); the cross-table dedup only exists for the union (r06)
+        cands = cands.dropDuplicates(["id_a", "id_b"])
+    # ONE structurally-identical vector subtree for both attach sides —
+    # the physical (broadcast) exchange canonicalizes identically, so the
+    # second join reuses the first's exchange instead of building its own
+    # (r06; the former per-side renamed projections defeated reuse)
+    vecs = df.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    )
     if broadcast_vectors:
-        va, vb = F.broadcast(va), F.broadcast(vb)
+        vecs = F.broadcast(vecs)
+    a = cands.join(vecs, F.col("id_a") == F.col("__vid")).select(
+        "id_a", "id_b", F.col("__v").alias("__va")
+    )
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        a.join(vecs, F.col("id_b") == F.col("__vid"))
         .select(
-            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos")
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__v")).alias("cos")
         )
         .where(F.col("cos") >= threshold)
     )
