@@ -172,13 +172,15 @@ _DERIVED_ASSIGNMENTS = [
 
 
 def _derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r06: spread under the CASE/coercion projection — the bench parquet is
-    # single-row-group, so the regex/label-heavy consumers (validation
-    # report, time census, coercion report) otherwise aggregate the whole
-    # events table in ONE scan task (guide §2.5 input skew)
-    return _spread(_t(spark, sf_dir, "events")).selectExpr(
-        *_SPARK_DERIVED_EXPRS
-    )
+    # NOT spread (r06 measured both ways): the derived-frame consumers
+    # partial-aggregate map-side to partition-count-sized rows, and their
+    # per-row CASE/label work is cheap enough that a round-robin exchange
+    # of the full 6-column events rows costs more than it parallelizes
+    # (validation_report 0.68→1.0 s, key_skew 0.55→1.6 s with the spread).
+    # Entries whose per-row work IS heavy (the try_cast/try_to_timestamp
+    # chains) spread a PROJECTED frame instead — see q_coercion_report /
+    # q_dtype_coercion_report / q_scalar_coercion.
+    return _t(spark, sf_dir, "events").selectExpr(*_SPARK_DERIVED_EXPRS)
 
 
 # ------------------------------------------------------------------ queries
@@ -209,7 +211,19 @@ def q_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_coercion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2/C3 conversion-error counting (errors = src non-null & coerced null,
     fractional→integer errors) as a long-form report."""
-    d = _derived(spark, sf_dir)
+    # r06: project events to the 2 source columns the numeric exprs need,
+    # then spread — the try_cast parse chains are the heavy part here
+    # (same remedy as dtype_coercion_report; the exchange carries 16 bytes
+    # per row instead of the full 6-column events rows)
+    d = _spread(
+        _t(spark, sf_dir, "events").select("event_id", "value")
+    ).selectExpr(
+        *[
+            x
+            for x in _SPARK_DERIVED_EXPRS
+            if x.split()[-1] in ("int_m", "float_m")
+        ]
+    )
     cols = [("int_m", "integer"), ("float_m", "float")]
     aggs = []
     for name, mtype in cols:
